@@ -1,0 +1,247 @@
+"""ValidationPlan: compiled schema -> executable Spark validation job.
+
+The analogue of jvst's jvst_vm_program (src/validate_vm.h:334-348) — but
+instead of packed uint32 opcodes, the "program" is a set of named,
+coded, vectorized Column predicates plus (for dynamic JSON) a compiled
+Python closure shipped inside an Arrow-batched pandas UDF. Catalyst +
+Tungsten replace the opcode dispatch loop (src/validate_vm.c:1136-1592).
+
+Outputs (FIXTURES.md §6 shapes):
+    verdicts   (doc_id, partition_id int, valid boolean)
+    violations (doc_id, partition_id int, code int, path string,
+                message string)
+Violation rows are emitted in canonical DAG order per document —
+deterministic, mirroring the reference's determinism-motivated mcase
+sorting (src/validate_constraints.c:5366-5377).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jvst_spark import errors as E
+from jvst_spark.compiler.pyeval import compile_explain, compile_python
+from jvst_spark.compiler.typed import Check, decompose_checks, lower_typed
+from jvst_spark.spec.canonify import canonify
+from jvst_spark.spec.nodes import Node
+from jvst_spark.spec.translate import translate_with_defs
+
+_VIOLATION_ELEM = StructType(
+    [
+        StructField("code", IntegerType(), False),
+        StructField("path", StringType(), False),
+    ]
+)
+
+
+@dataclass
+class CompiledSpec:
+    """Schema compiled through translate -> simplify -> canonify."""
+
+    root: Node
+    defs: Dict[str, Node] = field(default_factory=dict)
+
+
+def compile_schema(schema) -> CompiledSpec:
+    """Run the full driver-side pipeline (jvst_compile_schema analogue,
+    src/compile.c:7-21): translate -> simplify -> canonify."""
+    root, defs = translate_with_defs(schema)
+    return CompiledSpec(
+        canonify(root), {u: canonify(n) for u, n in defs.items()}
+    )
+
+
+class ValidationPlan:
+    """A compiled schema bound to a row shape, ready to run.
+
+    Typed mode (`over_columns`): the whole row is validated as a JSON
+    object whose keys are the selected columns — pure Column
+    expressions, zero Python at runtime (the 100 TB path).
+
+    Dynamic mode (`over_json`): a string column holding arbitrary JSON
+    is validated by the compiled Python closure inside a pandas UDF —
+    Arrow-batched; the per-document analogue of one VM run.
+    """
+
+    def __init__(self, spec: CompiledSpec):
+        self.spec = spec
+
+    # ------------------------------------------------ typed (scale) --
+
+    def typed_checks(
+        self, row_type: StructType, row_col: Optional[Column] = None
+    ) -> List[Check]:
+        if row_col is None:
+            row_col = F.struct(
+                *[F.col(f.name).alias(f.name) for f in row_type.fields]
+            )
+        return decompose_checks(
+            self.spec.root, row_type, row_col, "$", self.spec.defs
+        )
+
+    def valid_expr(
+        self, row_type: StructType, row_col: Optional[Column] = None
+    ) -> Column:
+        if row_col is None:
+            row_col = F.struct(
+                *[F.col(f.name).alias(f.name) for f in row_type.fields]
+            )
+        return lower_typed(self.spec.root, row_type, row_col, self.spec.defs)
+
+    def apply_typed(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        columns: Optional[List[str]] = None,
+    ) -> "ValidationResult":
+        """Validate each row (as an object of its columns) -> results.
+
+        One pass over the data: verdicts and the violations array are
+        computed in the same projection; violations explode lazily only
+        if the caller reads them.
+        """
+        cols = columns or [c for c in df.columns]
+        row_type = StructType([df.schema[c] for c in cols])
+        checks = self.typed_checks(row_type)
+
+        if checks:
+            valid = reduce(
+                lambda a, b: a & b, (F.coalesce(c.expr, F.lit(False)) for c in checks)
+            )
+            vio_arr = F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.coalesce(c.expr, F.lit(False)),
+                            F.struct(
+                                F.lit(c.code).cast("int").alias("code"),
+                                F.lit(c.path).alias("path"),
+                                F.lit(c.message()).alias("message"),
+                            ),
+                        )
+                        for c in checks
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        else:
+            valid = F.lit(True)
+            vio_arr = F.array().cast(
+                "array<struct<code:int,path:string,message:string>>"
+            )
+
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.spark_partition_id().alias("partition_id"),
+            valid.alias("valid"),
+            vio_arr.alias("_violations"),
+        )
+        return ValidationResult(base)
+
+    # -------------------------------------------- dynamic JSON mode --
+
+    def apply_json(
+        self, df: DataFrame, json_col: str, id_col: str = "doc_id"
+    ) -> "ValidationResult":
+        """Validate a column of JSON text documents.
+
+        The compiled closure is built once on the driver and shipped in
+        the UDF's closure; executors parse + validate per Arrow batch
+        (jvst: compile once, jvst_vm_more per document,
+        src/main.c:372-417)."""
+        import pandas as pd
+
+        validator = compile_python(self.spec.root, self.spec.defs)
+        explainer = compile_explain(self.spec.root, self.spec.defs)
+
+        @F.pandas_udf(ArrayType(_VIOLATION_ELEM))
+        def violations_udf(s: pd.Series) -> pd.Series:
+            def run(txt):
+                if txt is None:
+                    return [{"code": E.INVALID_JSON, "path": "$"}]
+                try:
+                    doc = json.loads(txt)
+                except (ValueError, RecursionError):
+                    return [{"code": E.INVALID_JSON, "path": "$"}]
+                if validator(doc):
+                    return []
+                return [
+                    {"code": c, "path": p} for c, p in explainer(doc)
+                ] or [{"code": E.INVALID_UNEXPECTED_TOKEN, "path": "$"}]
+
+            return s.map(run)
+
+        msg_map = F.create_map(
+            *[
+                x
+                for code in sorted(E._MESSAGES)
+                for x in (F.lit(code), F.lit(E.invalid_msg(code)))
+            ]
+        )
+        vio = violations_udf(F.col(json_col))
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.spark_partition_id().alias("partition_id"),
+            (F.size(vio) == 0).alias("valid"),
+            F.transform(
+                vio,
+                lambda x: F.struct(
+                    x["code"].alias("code"),
+                    x["path"].alias("path"),
+                    F.element_at(msg_map, x["code"]).alias("message"),
+                ),
+            ).alias("_violations"),
+        )
+        return ValidationResult(base)
+
+
+class ValidationResult:
+    """Lazy holder for the one-pass validation projection."""
+
+    def __init__(self, base: DataFrame):
+        self._base = base
+
+    @property
+    def frame(self) -> DataFrame:
+        """(doc_id, partition_id, valid, _violations array) — cache this
+        if reading both views at scale."""
+        return self._base
+
+    def verdicts(self) -> DataFrame:
+        return self._base.select("doc_id", "partition_id", "valid")
+
+    def violations(self) -> DataFrame:
+        ex = self._base.select(
+            "doc_id",
+            "partition_id",
+            F.explode("_violations").alias("v"),
+        )
+        return ex.select(
+            "doc_id",
+            "partition_id",
+            F.col("v.code").alias("code"),
+            F.col("v.path").alias("path"),
+            F.col("v.message").alias("message"),
+        )
+
+    def metrics(self) -> DataFrame:
+        """Per-partition pass/fail rollup (the per-partition verdict the
+        north rule requires)."""
+        return self._base.groupBy("partition_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum(F.size("_violations").cast("long")).alias("n_violations"),
+        )

@@ -1,0 +1,717 @@
+"""typed: ConstraintNode DAG x Spark DataType -> pyspark Column exprs.
+
+The scale path. For statically-typed columns the reference's entire
+execution engine dissolves: the 10-way token-type SWITCH
+(src/validate_ir.c:4231-4259) constant-folds to the column's static
+type, counters (src/validate_vm.c:1409-1424) become F.size(), the
+required-key bitvector (src/validate_constraints.c:5421-5458) becomes
+set algebra over struct fields / map_keys, SPLIT lock-step validators
+(src/validate_vm.c:947-1130) become independent boolean columns, and
+the DFA matcher (src/validate_vm.c:907-943) becomes vectorized rlike.
+Everything stays JVM-side inside whole-stage codegen; no Python in the
+hot path.
+
+Data-model convention: a NULL column/field/element is a JSON null; a
+NULL struct *field* inside an object is an ABSENT key (see
+SURVEY.md §1.2). MapType columns model open objects; StructType columns
+model closed ones.
+
+Two products:
+- lower_typed(node, dtype, col)    -> Column (validity boolean)
+- decompose_checks(node, dtype, col) -> [Check] (granular violations,
+  deterministic canonical order — the violation-row constructor)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from functools import reduce
+from typing import List, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    NullType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+from jvst_spark import errors as E
+from jvst_spark.compiler.pyeval import compile_python
+from jvst_spark.spec.nodes import (
+    And,
+    ArrContains,
+    ArrItems,
+    ArrUnique,
+    EnumMatch,
+    Invalid,
+    ItemRange,
+    Node,
+    Not,
+    NumInteger,
+    NumMultipleOf,
+    NumRange,
+    ObjPropNames,
+    ObjPropSet,
+    ObjRequired,
+    Or,
+    PropRange,
+    Ref,
+    StrLength,
+    StrMatch,
+    Switch,
+    Valid,
+    Xor,
+)
+from jvst_spark.spec.translate import SchemaError
+
+_NUMERIC = (
+    ByteType, ShortType, IntegerType, LongType,
+    FloatType, DoubleType, DecimalType,
+)
+
+
+def _T() -> Column:
+    return F.lit(True)
+
+
+def _F() -> Column:
+    return F.lit(False)
+
+
+def _arm_of(dtype: DataType) -> str:
+    """Static JSON-type arm of a Spark DataType — the compile-time
+    constant-folding of jvst's runtime type switch."""
+    if isinstance(dtype, StringType):
+        return "string"
+    if isinstance(dtype, BooleanType):
+        return "boolean"
+    if isinstance(dtype, _NUMERIC):
+        return "number"
+    if isinstance(dtype, ArrayType):
+        return "array"
+    if isinstance(dtype, (StructType, MapType)):
+        return "object"
+    if isinstance(dtype, NullType):
+        return "null"
+    raise SchemaError(f"unsupported column type for validation: {dtype}")
+
+
+def _nz(c: Column) -> Column:
+    """Null-safe boolean: SQL 3VL null -> False (a predicate that cannot
+    decide is a failed predicate, matching the evaluator's semantics)."""
+    return F.coalesce(c, _F())
+
+
+def _is_integer_dbl(c: Column) -> Column:
+    """isfinite(v) && v == ceil(v) (src/validate_vm.c:1261), expressed
+    overflow-safely: round() keeps DoubleType (F.ceil would overflow
+    LongType for |v| > 2^63)."""
+    return (
+        (~F.isnan(c))
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+        & (F.round(c, 0) == c)
+    )
+
+
+def _fields_sorted(dtype: StructType):
+    return sorted(dtype.fields, key=lambda f: f.name)
+
+
+def canon_expr(col: Column, dtype: DataType) -> Column:
+    """Canonical serialization as a Column expression.
+
+    Same equivalence classes as nodes.canonicalize (the UEM recipe,
+    src/validate_uniq.c:219-355): type tags, sorted object keys,
+    order-preserving arrays, numbers as doubles, absent (null) struct
+    fields skipped. Byte format is engine-local (Spark double->string
+    differs from Python repr); only equality semantics are contractual.
+    """
+    if isinstance(dtype, NullType):
+        return F.lit("z")
+    if isinstance(dtype, BooleanType):
+        out = F.when(col, F.lit("t")).otherwise(F.lit("f"))
+    elif isinstance(dtype, _NUMERIC):
+        out = F.concat(F.lit("n:"), col.cast("double").cast("string"))
+    elif isinstance(dtype, StringType):
+        out = F.concat(F.lit("s:"), col)
+    elif isinstance(dtype, ArrayType):
+        inner = F.transform(col, lambda x: canon_expr(x, dtype.elementType))
+        out = F.concat(F.lit("a["), F.concat_ws(",", inner), F.lit("]"))
+    elif isinstance(dtype, StructType):
+        parts = [
+            F.when(
+                col[f.name].isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                F.concat(
+                    F.lit(f"s:{f.name}="), canon_expr(col[f.name], f.dataType)
+                )
+            )
+            for f in _fields_sorted(dtype)
+        ]
+        body = (
+            F.concat_ws(",", F.filter(F.array(*parts), lambda x: x.isNotNull()))
+            if parts
+            else F.lit("")
+        )
+        out = F.concat(F.lit("o{"), body, F.lit("}"))
+    elif isinstance(dtype, MapType):
+        entries = F.array_sort(F.map_entries(col))  # sorts by key field
+        inner = F.transform(
+            entries,
+            lambda e: F.concat(
+                F.lit("s:"), e["key"], F.lit("="),
+                canon_expr(e["value"], dtype.valueType),
+            ),
+        )
+        out = F.concat(F.lit("o{"), F.concat_ws(",", inner), F.lit("}"))
+    else:
+        raise SchemaError(f"cannot canonicalize type: {dtype}")
+    return F.when(col.isNull(), F.lit("z")).otherwise(out)
+
+
+class _Lowerer:
+    def __init__(self, defs: Optional[dict] = None):
+        self.defs = defs or {}
+        self._ref_budget = 64  # bounded unrolling for cyclic $ref
+
+    # ---- validity expression -------------------------------------
+
+    def lower(self, node: Node, dtype: DataType, col: Column) -> Column:
+        """Boolean Column: does `col` (typed `dtype`) satisfy `node`?
+        Assumes the enclosing Switch already handled NULL dispatch;
+        leaves therefore assume a non-null value of their arm's type."""
+        if isinstance(node, Valid):
+            return _T()
+        if isinstance(node, Invalid):
+            return _F()
+        if isinstance(node, Switch):
+            arm = _arm_of(dtype)
+            if isinstance(dtype, NullType):
+                return self.lower(node.arm("null"), dtype, col)
+            body = self.lower(node.arm(arm), dtype, col)
+            null_ok = not isinstance(node.arm("null"), Invalid)
+            null_expr = (
+                self.lower(node.arm("null"), NullType(), col)
+                if null_ok
+                else _F()
+            )
+            return F.when(col.isNull(), null_expr).otherwise(body)
+        if isinstance(node, And):
+            return reduce(
+                lambda a, b: a & b,
+                (self.lower(t, dtype, col) for t in node.terms),
+            )
+        if isinstance(node, Or):
+            return reduce(
+                lambda a, b: a | b,
+                (_nz(self.lower(t, dtype, col)) for t in node.terms),
+            )
+        if isinstance(node, Xor):
+            # exactly-one: jvst forks SPLITV sub-VMs + popcount
+            # (src/validate_vm.c:947-1130); columnar: sum of casts == 1
+            total = reduce(
+                lambda a, b: a + b,
+                (
+                    _nz(self.lower(t, dtype, col)).cast("int")
+                    for t in node.terms
+                ),
+            )
+            return total == F.lit(1)
+        if isinstance(node, Not):
+            return ~_nz(self.lower(node.term, dtype, col))
+        if isinstance(node, Ref):
+            if self._ref_budget <= 0:
+                raise SchemaError(
+                    f"$ref recursion exceeds typed-lowering depth: {node.uri}"
+                )
+            self._ref_budget -= 1
+            try:
+                return self.lower(self.defs[node.uri], dtype, col)
+            finally:
+                self._ref_budget += 1
+
+        # --- numeric leaves ---
+        if isinstance(node, NumRange):
+            if not isinstance(dtype, _NUMERIC):
+                return _F()
+            conds = []
+            if node.lo is not None:
+                conds.append(
+                    col > F.lit(node.lo) if node.lo_excl else col >= F.lit(node.lo)
+                )
+            if node.hi is not None:
+                conds.append(
+                    col < F.lit(node.hi) if node.hi_excl else col <= F.lit(node.hi)
+                )
+            return reduce(lambda a, b: a & b, conds) if conds else _T()
+        if isinstance(node, NumInteger):
+            if isinstance(dtype, (FloatType, DoubleType)):
+                return _is_integer_dbl(col.cast("double"))
+            return _T() if isinstance(dtype, _NUMERIC) else _F()
+        if isinstance(node, NumMultipleOf):
+            if not isinstance(dtype, _NUMERIC):
+                return _F()
+            # division-based semantics (src/validate_vm.c:1248-1261)
+            return _is_integer_dbl(col.cast("double") / F.lit(node.divisor))
+
+        # --- string leaves ---
+        if isinstance(node, StrMatch):
+            return col.rlike(node.pattern) if isinstance(dtype, StringType) else _F()
+        if isinstance(node, StrLength):
+            if not isinstance(dtype, StringType):
+                return _F()
+            n = F.length(col)
+            cond = n >= F.lit(node.lo)
+            if node.hi is not None:
+                cond = cond & (n <= F.lit(node.hi))
+            return cond
+
+        # --- object leaves ---
+        if isinstance(node, ObjRequired):
+            if isinstance(dtype, StructType):
+                names = set(dtype.fieldNames())
+                conds = [
+                    col[k].isNotNull() if k in names else _F() for k in node.keys
+                ]
+                return reduce(lambda a, b: a & b, conds)
+            if isinstance(dtype, MapType):
+                conds = [F.map_contains_key(col, F.lit(k)) for k in node.keys]
+                return reduce(lambda a, b: a & b, conds)
+            return _F()
+        if isinstance(node, PropRange):
+            if isinstance(dtype, StructType):
+                n = self._struct_nprops(col, dtype)
+            elif isinstance(dtype, MapType):
+                n = F.size(col)
+            else:
+                return _F()
+            cond = n >= F.lit(node.lo)
+            if node.hi is not None:
+                cond = cond & (n <= F.lit(node.hi))
+            return cond
+        if isinstance(node, ObjPropSet):
+            return self._lower_propset(node, dtype, col)
+        if isinstance(node, ObjPropNames):
+            return self._lower_propnames(node, dtype, col)
+
+        # --- array leaves ---
+        if isinstance(node, ArrItems):
+            if not isinstance(dtype, ArrayType):
+                return _F()
+            et = dtype.elementType
+            pos = list(node.positional)
+
+            def elem_pred(x: Column, i: Column) -> Column:
+                # per-index dispatch: positional i, then the additional
+                # default — jvst's array loop with positional frames
+                # (src/validate_ir.c:3988-4060), as one array traversal
+                expr = _nz(self.lower(node.additional, et, x))
+                for j in range(len(pos) - 1, -1, -1):
+                    expr = F.when(
+                        i == F.lit(j), _nz(self.lower(pos[j], et, x))
+                    ).otherwise(expr)
+                return expr
+
+            bad = F.filter(col, lambda x, i: ~elem_pred(x, i))
+            return F.size(bad) == F.lit(0)
+        if isinstance(node, ArrContains):
+            if not isinstance(dtype, ArrayType):
+                return _F()
+            return F.exists(
+                col, lambda x: _nz(self.lower(node.schema, dtype.elementType, x))
+            )
+        if isinstance(node, ItemRange):
+            if not isinstance(dtype, ArrayType):
+                return _F()
+            n = F.size(col)
+            cond = n >= F.lit(node.lo)
+            if node.hi is not None:
+                cond = cond & (n <= F.lit(node.hi))
+            return cond
+        if isinstance(node, ArrUnique):
+            if not isinstance(dtype, ArrayType):
+                return _F()
+            canon = F.transform(col, lambda x: canon_expr(x, dtype.elementType))
+            return F.size(F.array_distinct(canon)) == F.size(col)
+
+        # --- value equality ---
+        if isinstance(node, EnumMatch):
+            return self._lower_enum(node, dtype, col)
+
+        raise SchemaError(f"cannot lower node for typed column: {node!r}")
+
+    # ---- helpers ---------------------------------------------------
+
+    def _struct_nprops(self, col: Column, dtype: StructType) -> Column:
+        counts = [col[f.name].isNotNull().cast("int") for f in dtype.fields]
+        if not counts:
+            return F.lit(0)
+        return reduce(lambda a, b: a + b, counts)
+
+    def _lower_propset(self, node: ObjPropSet, dtype, col: Column) -> Column:
+        import re as _re
+
+        props = dict(node.props)
+        if isinstance(dtype, StructType):
+            # closed object: key set is static, so jvst's merged property
+            # DFA (src/validate_constraints.c:5206-5416) constant-folds
+            # to per-field predicates
+            conds = []
+            for f in dtype.fields:
+                applying = []
+                if f.name in props:
+                    applying.append(props[f.name])
+                for pat, pn in node.patterns:
+                    if _re.search(pat, f.name):
+                        applying.append(pn)
+                if not applying:
+                    applying.append(node.additional)
+                fexpr = reduce(
+                    lambda a, b: a & b,
+                    (
+                        _nz(self.lower(s, f.dataType, col[f.name]))
+                        for s in applying
+                    ),
+                )
+                # null struct field == absent key: constraint vacuous
+                conds.append(
+                    F.when(col[f.name].isNull(), _T()).otherwise(fexpr)
+                )
+            return reduce(lambda a, b: a & b, conds) if conds else _T()
+        if isinstance(dtype, MapType):
+            vt = dtype.valueType
+            conds = []
+            for k, sub in node.props:
+                conds.append(
+                    F.when(
+                        F.map_contains_key(col, F.lit(k)),
+                        _nz(self.lower(sub, vt, F.element_at(col, F.lit(k)))),
+                    ).otherwise(_T())
+                )
+            for pat, sub in node.patterns:
+                conds.append(
+                    F.forall(
+                        F.map_entries(col),
+                        lambda e, pat=pat, sub=sub: F.when(
+                            e["key"].rlike(pat),
+                            _nz(self.lower(sub, vt, e["value"])),
+                        ).otherwise(_T()),
+                    )
+                )
+            if not isinstance(node.additional, Valid):
+                known = sorted(props.keys())
+
+                def is_known(k: Column) -> Column:
+                    cond = _F()
+                    for kn in known:
+                        cond = cond | (k == F.lit(kn))
+                    for pat, _ in node.patterns:
+                        cond = cond | k.rlike(pat)
+                    return cond
+
+                conds.append(
+                    F.forall(
+                        F.map_entries(col),
+                        lambda e: F.when(
+                            is_known(e["key"]), _T()
+                        ).otherwise(
+                            _nz(self.lower(node.additional, vt, e["value"]))
+                        ),
+                    )
+                )
+            return reduce(lambda a, b: a & b, conds) if conds else _T()
+        return _F()
+
+    def _lower_propnames(self, node: ObjPropNames, dtype, col: Column) -> Column:
+        if isinstance(dtype, StructType):
+            # static names: evaluate the name schema at COMPILE time
+            ok = compile_python(node.name_schema, self.defs)
+            conds = [
+                _T()
+                if ok(f.name)
+                else F.when(col[f.name].isNull(), _T()).otherwise(_F())
+                for f in dtype.fields
+            ]
+            return reduce(lambda a, b: a & b, conds) if conds else _T()
+        if isinstance(dtype, MapType):
+            return F.forall(
+                F.map_keys(col),
+                lambda k: _nz(self.lower(node.name_schema, StringType(), k)),
+            )
+        return _F()
+
+    def _lower_enum(self, node: EnumMatch, dtype, col: Column) -> Column:
+        vals = [json.loads(r) for r in node.raw_json]
+        if isinstance(dtype, NullType):
+            return F.lit(any(v is None for v in vals))
+        if isinstance(dtype, BooleanType):
+            bools = [v for v in vals if isinstance(v, bool)]
+            return col.isin(bools) if bools else _F()
+        if isinstance(dtype, _NUMERIC):
+            nums = [
+                float(v)
+                for v in vals
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+            ]
+            return col.cast("double").isin(nums) if nums else _F()
+        if isinstance(dtype, StringType):
+            strs = [v for v in vals if isinstance(v, str)]
+            return col.isin(strs) if strs else _F()
+        # composite values: canonical-serialization equality. The Spark
+        # canon of the literal is computed with the same Column recipe
+        # so double formatting matches engine-side.
+        lits = [
+            v for v in vals if isinstance(v, (list, dict))
+        ]
+        if not lits:
+            return _F()
+        target = canon_expr(col, dtype)
+        conds = [
+            target == canon_expr(_literal_to_column(v, dtype), dtype)
+            for v in lits
+        ]
+        return reduce(lambda a, b: a | b, conds)
+
+
+def _literal_to_column(value, dtype: DataType) -> Column:
+    """Build a Column literal of `dtype` shape from a parsed JSON value
+    (used for composite enum/const comparison)."""
+    if value is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, ArrayType):
+        if not isinstance(value, list):
+            return F.lit(None).cast(dtype)
+        if not value:
+            return F.array().cast(dtype)
+        return F.array(
+            *[_literal_to_column(v, dtype.elementType) for v in value]
+        )
+    if isinstance(dtype, StructType):
+        if not isinstance(value, dict):
+            return F.lit(None).cast(dtype)
+        return F.struct(
+            *[
+                _literal_to_column(value.get(f.name), f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, MapType):
+        if not isinstance(value, dict):
+            return F.lit(None).cast(dtype)
+        kvs = []
+        for k, v in value.items():
+            kvs.append(F.lit(k))
+            kvs.append(_literal_to_column(v, dtype.valueType))
+        return F.create_map(*kvs) if kvs else F.create_map().cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def lower_typed(
+    node: Node,
+    dtype: DataType,
+    col: Column,
+    defs: Optional[dict] = None,
+) -> Column:
+    """Public entry: validity Column for a typed column."""
+    return _Lowerer(defs).lower(node, dtype, col)
+
+
+# ---------------------------------------------------------------------
+# violation-check decomposition
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class Check:
+    """One named, coded validity predicate (True == pass). The unit of
+    violation-row construction; code vocabulary mirrors
+    src/validate_ir.h:134-163."""
+
+    code: int
+    path: str
+    expr: Column
+
+    def message(self) -> str:
+        return E.invalid_msg(self.code)
+
+
+_LEAF_CODES = {
+    NumRange: E.INVALID_NUMBER,
+    NumInteger: E.INVALID_NOT_INTEGER,
+    NumMultipleOf: E.INVALID_NOT_MULTIPLE,
+    StrMatch: E.INVALID_MATCH_CASE,
+    EnumMatch: E.INVALID_MATCH_CASE,
+    ObjRequired: E.INVALID_MISSING_REQUIRED_PROPERTIES,
+    ObjPropNames: E.INVALID_BAD_PROPERTY_NAME,
+    ArrContains: E.INVALID_UNSATISFIED_CONTAINS,
+    ArrUnique: E.INVALID_NOT_UNIQUE,
+    ObjPropSet: E.INVALID_MATCH_CASE,
+    ArrItems: E.INVALID_MATCH_CASE,
+}
+
+
+def decompose_checks(
+    node: Node,
+    dtype: DataType,
+    col: Column,
+    path: str = "$",
+    defs: Optional[dict] = None,
+) -> List[Check]:
+    """Flatten the DAG into independently-evaluable coded checks.
+
+    Decomposes through And and Switch (conjunctive structure); any
+    Or/Xor/Not subtree is one composite check (the reference likewise
+    reports combinator failures as one SPLIT_CONDITION error,
+    src/validate_ir.h:141). Order is canonical DAG order, so violation
+    rows are deterministic.
+    """
+    lw = _Lowerer(defs)
+    out: List[Check] = []
+    _decompose(lw, node, dtype, col, path, out, null_guard=None)
+    return out
+
+
+def _guard(null_guard: Optional[Column], expr: Column) -> Column:
+    if null_guard is None:
+        return expr
+    return F.when(null_guard, _T()).otherwise(expr)
+
+
+def _decompose(
+    lw: _Lowerer,
+    node: Node,
+    dtype: DataType,
+    col: Column,
+    path: str,
+    out: List[Check],
+    null_guard: Optional[Column],
+) -> None:
+    if isinstance(node, Valid):
+        return
+    if isinstance(node, Invalid):
+        out.append(
+            Check(node.code or E.INVALID_UNEXPECTED_TOKEN, path,
+                  _guard(null_guard, _F()))
+        )
+        return
+    if isinstance(node, And):
+        for t in node.terms:
+            _decompose(lw, t, dtype, col, path, out, null_guard)
+        return
+    if isinstance(node, Switch):
+        if isinstance(dtype, NullType):
+            _decompose(lw, node.arm("null"), dtype, col, path, out, null_guard)
+            return
+        arm_node = node.arm(_arm_of(dtype))
+        null_node = node.arm("null")
+        # value NULL at runtime: the null arm decides
+        if isinstance(null_node, Invalid):
+            out.append(
+                Check(
+                    E.INVALID_UNEXPECTED_TOKEN,
+                    path,
+                    _guard(null_guard, col.isNotNull()),
+                )
+            )
+        ng = col.isNull() if null_guard is None else (null_guard | col.isNull())
+        _decompose(lw, arm_node, dtype, col, path, out, ng)
+        return
+    if isinstance(node, StrLength) and isinstance(dtype, StringType):
+        n = F.length(col)
+        if node.lo > 0:
+            out.append(
+                Check(E.INVALID_LENGTH_TOO_SHORT, path,
+                      _guard(null_guard, n >= F.lit(node.lo)))
+            )
+        if node.hi is not None:
+            out.append(
+                Check(E.INVALID_LENGTH_TOO_LONG, path,
+                      _guard(null_guard, n <= F.lit(node.hi)))
+            )
+        return
+    if isinstance(node, ItemRange) and isinstance(dtype, ArrayType):
+        n = F.size(col)
+        if node.lo > 0:
+            out.append(
+                Check(E.INVALID_TOO_FEW_ITEMS, path,
+                      _guard(null_guard, n >= F.lit(node.lo)))
+            )
+        if node.hi is not None:
+            out.append(
+                Check(E.INVALID_TOO_MANY_ITEMS, path,
+                      _guard(null_guard, n <= F.lit(node.hi)))
+            )
+        return
+    if isinstance(node, PropRange) and isinstance(dtype, (StructType, MapType)):
+        n = (
+            lw._struct_nprops(col, dtype)
+            if isinstance(dtype, StructType)
+            else F.size(col)
+        )
+        if node.lo > 0:
+            out.append(
+                Check(E.INVALID_TOO_FEW_PROPS, path,
+                      _guard(null_guard, n >= F.lit(node.lo)))
+            )
+        if node.hi is not None:
+            out.append(
+                Check(E.INVALID_TOO_MANY_PROPS, path,
+                      _guard(null_guard, n <= F.lit(node.hi)))
+            )
+        return
+    if isinstance(node, ObjPropSet) and isinstance(dtype, StructType):
+        # closed object: recurse per field for granular paths
+        import re as _re
+
+        props = dict(node.props)
+        for f in dtype.fields:
+            applying = []
+            if f.name in props:
+                applying.append(props[f.name])
+            for pat, pn in node.patterns:
+                if _re.search(pat, f.name):
+                    applying.append(pn)
+            if not applying and not isinstance(node.additional, Valid):
+                applying.append(node.additional)
+            fcol = col[f.name]
+            ng = (
+                fcol.isNull()
+                if null_guard is None
+                else (null_guard | fcol.isNull())
+            )
+            for sub in applying:
+                _decompose(
+                    lw, sub, f.dataType, fcol, f"{path}.{f.name}", out, ng
+                )
+        return
+    if isinstance(node, (Or, Xor, Not)):
+        out.append(
+            Check(
+                E.INVALID_SPLIT_CONDITION,
+                path,
+                _guard(null_guard, _nz(lw.lower(node, dtype, col))),
+            )
+        )
+        return
+    # leaf (or map-typed propset / array items): one coded check
+    code = _LEAF_CODES.get(type(node), E.INVALID_UNEXPECTED_TOKEN)
+    if isinstance(node, ArrItems):
+        code = E.INVALID_MATCH_CASE
+    out.append(
+        Check(code, path, _guard(null_guard, _nz(lw.lower(node, dtype, col))))
+    )

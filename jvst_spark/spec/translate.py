@@ -1,0 +1,396 @@
+"""translate: JSON-Schema(draft-6 subset) dict -> ConstraintNode DAG.
+
+The analogue of jvst's AST -> cnode translator
+(cnode_translate_ast_with_ids, src/validate_constraints.c:1263-1718).
+Keyword vocabulary mirrors the reference's fixed table (src/kw.c:17-58):
+
+  type, enum, const, minimum, maximum, exclusiveMinimum,
+  exclusiveMaximum, multipleOf, minLength, maxLength, pattern,
+  properties, patternProperties, additionalProperties, propertyNames,
+  required, minProperties, maxProperties, dependencies, items,
+  additionalItems, contains, minItems, maxItems, uniqueItems, allOf,
+  anyOf, oneOf, not, $ref, $id, definitions, title, description,
+  default, examples, $schema
+
+`title`/`description`/`$schema` are annotations; `default`/`examples`
+are parsed-but-unimplemented in the reference too (src/ast.h:100-101).
+
+$ref handling: acyclic refs are inlined (columnar plans cannot recurse);
+cyclic refs stay as Ref nodes with their targets collected in a
+definitions map — the Python evaluator supports true recursion via
+mutually recursive closures (replacing jvst's VM CALL frames,
+src/validate_vm.c:1449-1468); typed lowering unrolls to the static
+depth of the column's DataType, which is always finite.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from jvst_spark.spec.nodes import (
+    JSON_TYPES,
+    And,
+    ArrContains,
+    ArrItems,
+    ArrUnique,
+    EnumMatch,
+    Invalid,
+    ItemRange,
+    Node,
+    Not,
+    NumInteger,
+    NumMultipleOf,
+    NumRange,
+    ObjPropNames,
+    ObjPropSet,
+    ObjRequired,
+    Or,
+    PropRange,
+    Ref,
+    StrLength,
+    StrMatch,
+    Switch,
+    Valid,
+    Xor,
+    canonicalize,
+)
+
+_KNOWN_KEYWORDS = {
+    "$schema", "$id", "id", "$ref", "definitions", "title", "description",
+    "default", "examples",
+    "type", "enum", "const",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf",
+    "minLength", "maxLength", "pattern",
+    "properties", "patternProperties", "additionalProperties",
+    "propertyNames", "required", "minProperties", "maxProperties",
+    "dependencies",
+    "items", "additionalItems", "contains", "minItems", "maxItems",
+    "uniqueItems",
+    "allOf", "anyOf", "oneOf", "not",
+}
+
+# draft-6 type names -> our switch arms; "integer" is number + NumInteger
+_TYPE_ARMS = {
+    "null": ("null",),
+    "boolean": ("boolean",),
+    "number": ("number",),
+    "integer": ("number",),
+    "string": ("string",),
+    "array": ("array",),
+    "object": ("object",),
+}
+
+
+class SchemaError(ValueError):
+    """Malformed schema (jvst aborts compile; we raise)."""
+
+
+def _and(*terms: Node) -> Node:
+    ts = tuple(t for t in terms if not isinstance(t, Valid))
+    if not ts:
+        return Valid()
+    if len(ts) == 1:
+        return ts[0]
+    return And(ts)
+
+
+class _Translator:
+    """One schema document's translation context ($ref resolution)."""
+
+    def __init__(self, root_schema):
+        self.root = root_schema
+        self.defs: Dict[str, Node] = {}
+        self._ids: Dict[str, object] = {}
+        self._index_ids(root_schema)
+
+    def _index_ids(self, raw):
+        """Index $id-bearing subschemas for non-pointer $ref targets."""
+        if isinstance(raw, dict):
+            sid = raw.get("$id") or raw.get("id")
+            if isinstance(sid, str):
+                self._ids[sid] = raw
+            for v in raw.values():
+                self._index_ids(v)
+        elif isinstance(raw, list):
+            for v in raw:
+                self._index_ids(v)
+
+    def resolve_raw(self, uri: str):
+        """Resolve a same-document $ref URI to its raw subschema."""
+        if uri == "#":
+            return self.root
+        if uri.startswith("#/"):
+            cur = self.root
+            for part in uri[2:].split("/"):
+                part = part.replace("~1", "/").replace("~0", "~")
+                if isinstance(cur, list):
+                    try:
+                        cur = cur[int(part)]
+                    except (ValueError, IndexError):
+                        raise SchemaError(f"unresolvable $ref: {uri}")
+                elif isinstance(cur, dict) and part in cur:
+                    cur = cur[part]
+                else:
+                    raise SchemaError(f"unresolvable $ref: {uri}")
+            return cur
+        if uri in self._ids:
+            return self._ids[uri]
+        raise SchemaError(f"unresolvable $ref: {uri} (remote refs unsupported)")
+
+    def translate(self, raw, stack: Tuple[str, ...] = ()) -> Node:
+        if raw is True or raw == {}:
+            return Valid()
+        if raw is False:
+            return Invalid()
+        if not isinstance(raw, dict):
+            raise SchemaError(f"schema must be bool or object, got {type(raw)}")
+
+        # $ref: draft-6 semantics — $ref replaces the schema entirely
+        if "$ref" in raw:
+            uri = raw["$ref"]
+            if uri in stack:
+                # cycle: keep as a named call; target translated once
+                if uri not in self.defs:
+                    # placeholder to break re-entry, then translate body
+                    self.defs[uri] = Valid()
+                    self.defs[uri] = self.translate(
+                        self.resolve_raw(uri), stack
+                    )
+                return Ref(uri)
+            target = self.resolve_raw(uri)
+            node = self.translate(target, stack + (uri,))
+            # if translation of the target discovered it is cyclic (a Ref
+            # to `uri` appeared inside), expose it via defs as well
+            if _contains_ref(node, uri):
+                if uri not in self.defs:
+                    self.defs[uri] = node
+                return Ref(uri)
+            return node
+
+        terms = []
+
+        # ---- type switch (the root "filter") ----
+        sw = self._type_switch(raw, stack)
+        if sw is not None:
+            terms.append(sw)
+
+        # ---- enum / const: type-independent deep equality ----
+        if "enum" in raw:
+            vals = raw["enum"]
+            if not isinstance(vals, list):
+                raise SchemaError("enum must be an array")
+            terms.append(_enum_node(vals) if vals else Invalid())
+        if "const" in raw:
+            terms.append(_enum_node([raw["const"]]))
+
+        # ---- combinators ----
+        if "allOf" in raw:
+            subs = [self.translate(s, stack) for s in _sublist(raw, "allOf")]
+            terms.append(And(tuple(subs)))
+        if "anyOf" in raw:
+            subs = [self.translate(s, stack) for s in _sublist(raw, "anyOf")]
+            terms.append(Or(tuple(subs)))
+        if "oneOf" in raw:
+            subs = [self.translate(s, stack) for s in _sublist(raw, "oneOf")]
+            terms.append(Xor(tuple(subs)))
+        if "not" in raw:
+            terms.append(Not(self.translate(raw["not"], stack)))
+
+        if not terms:
+            return Valid()
+        return _and(*terms)
+
+    # -- per-type keyword families, each constraining one switch arm --
+
+    def _type_switch(self, raw: dict, stack) -> Node | None:
+        """Build the SWITCH from `type` + per-type constraint keywords.
+
+        Mirrors jvst: start from an all-valid switch, narrow arms for
+        `type`, AND per-type constraints into their arms
+        (src/validate_constraints.c:1321-1357 and keyword cases below it).
+        """
+        num = self._numeric_constraints(raw)
+        st = self._string_constraints(raw)
+        ob = self._object_constraints(raw, stack)
+        ar = self._array_constraints(raw, stack)
+
+        allowed = None
+        if "type" in raw:
+            tl = raw["type"]
+            if isinstance(tl, str):
+                tl = [tl]
+            if not isinstance(tl, list) or not tl:
+                raise SchemaError("type must be a string or non-empty array")
+            allowed = set()
+            for t in tl:
+                if t not in _TYPE_ARMS:
+                    raise SchemaError(f"unknown type: {t}")
+                allowed.update(_TYPE_ARMS[t])
+                if t == "integer":
+                    num = _and(NumInteger(), num)
+
+        if allowed is None and isinstance(num, Valid) and isinstance(st, Valid) \
+                and isinstance(ob, Valid) and isinstance(ar, Valid):
+            return None  # no type-dispatched constraints at all
+
+        arms = []
+        per_arm = {"number": num, "string": st, "object": ob, "array": ar}
+        for t in JSON_TYPES:
+            if allowed is not None and t not in allowed:
+                arms.append((t, Invalid()))
+            else:
+                arms.append((t, per_arm.get(t, Valid())))
+        return Switch(tuple(arms))
+
+    def _numeric_constraints(self, raw: dict) -> Node:
+        terms = []
+        lo = hi = None
+        lo_excl = hi_excl = False
+        if "minimum" in raw:
+            lo = float(raw["minimum"])
+        if "exclusiveMinimum" in raw:
+            v = float(raw["exclusiveMinimum"])
+            if lo is None or v >= lo:
+                lo, lo_excl = v, True
+        if "maximum" in raw:
+            hi = float(raw["maximum"])
+        if "exclusiveMaximum" in raw:
+            v = float(raw["exclusiveMaximum"])
+            if hi is None or v <= hi:
+                hi, hi_excl = v, True
+        if lo is not None or hi is not None:
+            terms.append(NumRange(lo, hi, lo_excl, hi_excl))
+        if "multipleOf" in raw:
+            d = float(raw["multipleOf"])
+            if d <= 0:
+                raise SchemaError("multipleOf must be > 0")
+            terms.append(NumMultipleOf(d))
+        return _and(*terms)
+
+    def _string_constraints(self, raw: dict) -> Node:
+        terms = []
+        lo = int(raw["minLength"]) if "minLength" in raw else 0
+        hi = int(raw["maxLength"]) if "maxLength" in raw else None
+        if lo != 0 or hi is not None:
+            terms.append(StrLength(lo, hi))
+        if "pattern" in raw:
+            terms.append(StrMatch(str(raw["pattern"])))
+        return _and(*terms)
+
+    def _object_constraints(self, raw: dict, stack) -> Node:
+        terms = []
+        props = raw.get("properties")
+        pats = raw.get("patternProperties")
+        addl = raw.get("additionalProperties")
+        if props is not None or pats is not None or addl is not None:
+            p = tuple(
+                sorted(
+                    (k, self.translate(v, stack))
+                    for k, v in (props or {}).items()
+                )
+            )
+            pp = tuple(
+                sorted(
+                    (k, self.translate(v, stack))
+                    for k, v in (pats or {}).items()
+                )
+            )
+            a = Valid() if addl is None else self.translate(addl, stack)
+            terms.append(ObjPropSet(p, pp, a))
+        if "propertyNames" in raw:
+            terms.append(ObjPropNames(self.translate(raw["propertyNames"], stack)))
+        if "required" in raw:
+            keys = raw["required"]
+            if not isinstance(keys, list):
+                raise SchemaError("required must be an array")
+            if keys:
+                terms.append(ObjRequired(tuple(sorted(set(keys)))))
+        lo = int(raw["minProperties"]) if "minProperties" in raw else 0
+        hi = int(raw["maxProperties"]) if "maxProperties" in raw else None
+        if lo != 0 or hi is not None:
+            terms.append(PropRange(lo, hi))
+        if "dependencies" in raw:
+            terms.extend(self._dependencies(raw["dependencies"], stack))
+        return _and(*terms)
+
+    def _dependencies(self, deps: dict, stack):
+        """Desugar exactly as jvst does (src/validate_constraints.c:1556-1646):
+        property form  K: [D...] -> OR(REQUIRED{K, D...}, NOT REQUIRED{K})
+        schema form    K: S      -> OR(NOT REQUIRED{K}, <S>)
+        """
+        if not isinstance(deps, dict):
+            raise SchemaError("dependencies must be an object")
+        out = []
+        for key in sorted(deps):
+            dep = deps[key]
+            absent = Not(ObjRequired((key,)))
+            if isinstance(dep, list):
+                need = tuple(sorted(set([key] + list(dep))))
+                out.append(Or((ObjRequired(need), absent)))
+            else:
+                out.append(Or((absent, self.translate(dep, stack))))
+        return out
+
+    def _array_constraints(self, raw: dict, stack) -> Node:
+        terms = []
+        items = raw.get("items")
+        addl_items = raw.get("additionalItems")
+        if items is not None or addl_items is not None:
+            if isinstance(items, list):
+                pos = tuple(self.translate(s, stack) for s in items)
+                a = Valid() if addl_items is None else self.translate(addl_items, stack)
+                terms.append(ArrItems(pos, a))
+            elif items is not None:
+                # single-schema form: additionalItems is ignored per spec
+                terms.append(ArrItems((), self.translate(items, stack)))
+            # additionalItems alone (no items) constrains nothing
+        if "contains" in raw:
+            terms.append(ArrContains(self.translate(raw["contains"], stack)))
+        lo = int(raw["minItems"]) if "minItems" in raw else 0
+        hi = int(raw["maxItems"]) if "maxItems" in raw else None
+        if lo != 0 or hi is not None:
+            terms.append(ItemRange(lo, hi))
+        if raw.get("uniqueItems") is True:
+            terms.append(ArrUnique())
+        return _and(*terms)
+
+
+def _enum_node(vals: list) -> EnumMatch:
+    """Build an EnumMatch with aligned (canon, raw-json) pairs, deduped
+    on canonical form and sorted for deterministic golden trees."""
+    import json as _json
+
+    by_canon = {}
+    for v in vals:
+        by_canon.setdefault(canonicalize(v), _json.dumps(v))
+    items = sorted(by_canon.items())
+    return EnumMatch(
+        tuple(c for c, _ in items), tuple(r for _, r in items)
+    )
+
+
+def _sublist(raw: dict, kw: str) -> list:
+    v = raw[kw]
+    if not isinstance(v, list) or not v:
+        raise SchemaError(f"{kw} must be a non-empty array")
+    return v
+
+
+def _contains_ref(node: Node, uri: str) -> bool:
+    if isinstance(node, Ref) and node.uri == uri:
+        return True
+    return any(_contains_ref(c, uri) for c in node.children())
+
+
+def translate_with_defs(schema) -> Tuple[Node, Dict[str, Node]]:
+    """Translate a schema document; returns (root node, cyclic-def map)."""
+    tr = _Translator(schema)
+    root = tr.translate(schema)
+    return root, dict(tr.defs)
+
+
+def translate(schema) -> Node:
+    """Translate a schema document to a ConstraintNode DAG (acyclic refs
+    inlined; cyclic defs reachable via translate_with_defs)."""
+    return translate_with_defs(schema)[0]
