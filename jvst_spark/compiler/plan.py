@@ -167,8 +167,8 @@ class ValidationPlan:
         validator = compile_python(self.spec.root, self.spec.defs)
         explainer = compile_explain(self.spec.root, self.spec.defs)
 
-        @F.pandas_udf(ArrayType(_VIOLATION_ELEM))
-        def violations_udf(s: pd.Series) -> pd.Series:
+        @F.pandas_udf(ArrayType(_VIOLATION_ELEM), F.PandasUDFType.SCALAR)
+        def violations_udf(s):
             def run(txt):
                 if txt is None:
                     return [{"code": E.INVALID_JSON, "path": "$"}]

@@ -699,6 +699,36 @@ def _decompose(
                     lw, sub, f.dataType, fcol, f"{path}.{f.name}", out, ng
                 )
         return
+    if (
+        isinstance(node, ArrItems)
+        and isinstance(dtype, ArrayType)
+        and not node.positional
+    ):
+        # single-schema items: decompose the element schema into leaf
+        # checks, each evaluated as one forall pass over the array —
+        # granular codes + "$[*]" paths instead of one composite check
+        et = dtype.elementType
+        probe: List[Check] = []
+        _decompose(
+            lw, node.additional, et, F.lit(None).cast(et), "$", probe, None
+        )
+        def kth_factory(k: int):
+            def kth(x: Column) -> Column:
+                sub: List[Check] = []
+                _decompose(lw, node.additional, et, x, "$", sub, None)
+                return _nz(sub[k].expr)
+
+            return kth
+
+        for k, pc in enumerate(probe):
+            out.append(
+                Check(
+                    pc.code,
+                    f"{path}[*]" + pc.path[1:],
+                    _guard(null_guard, F.forall(col, kth_factory(k))),
+                )
+            )
+        return
     if isinstance(node, (Or, Xor, Not)):
         out.append(
             Check(

@@ -1,0 +1,100 @@
+"""Distribution-drift checks: PSI and KS statistic over binned aggs.
+
+Not expressible in jvst (SURVEY.md §2 row 43). Both metrics reduce to
+ONE groupBy over fixed-width bins (a single shuffle of |bins| rows, not
+data rows) followed by driver-light window math:
+
+- PSI  = sum_bins (p - q) * ln(p / q), with epsilon-smoothed masses
+- KS   = max_bins |CDF_p - CDF_q|, cumulative sums via a window over
+         the bin index (|bins| rows — trivially cheap)
+
+The baseline histogram is a tiny DataFrame (broadcast join). At 100 TB
+the only data-sized cost is the one binned aggregation, which Catalyst
+executes with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def histogram(
+    df: DataFrame, col: str, bin_width: float, lo: float = 0.0
+) -> DataFrame:
+    """Fixed-width binned counts: (bin int, n long). One aggregation."""
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(bin_width)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _masses(hist: DataFrame, n_col: str) -> DataFrame:
+    total = Window.partitionBy()
+    return hist.select(
+        "bin", (F.col(n_col) / F.sum(n_col).over(total)).alias("p")
+    )
+
+
+def psi(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """Population Stability Index between two histograms.
+    Input: (bin, n) each. Output: single row (psi double)."""
+    cur = _masses(current_hist, "n").withColumnRenamed("p", "p_cur")
+    base = _masses(baseline_hist, "n").withColumnRenamed("p", "p_base")
+    joined = cur.join(base, "bin", "full_outer").select(
+        F.coalesce("p_cur", F.lit(0.0)).alias("p"),
+        F.coalesce("p_base", F.lit(0.0)).alias("q"),
+    )
+    smoothed = joined.select(
+        (F.col("p") + F.lit(EPS)).alias("p"), (F.col("q") + F.lit(EPS)).alias("q")
+    )
+    return smoothed.agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
+            "psi"
+        )
+    )
+
+
+def ks_statistic(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """Kolmogorov-Smirnov statistic (sup |CDF diff|) between two binned
+    histograms. Output: single row (ks double)."""
+    cur = _masses(current_hist, "n").withColumnRenamed("p", "p_cur")
+    base = _masses(baseline_hist, "n").withColumnRenamed("p", "p_base")
+    joined = cur.join(base, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("p_cur", F.lit(0.0)).alias("p"),
+        F.coalesce("p_base", F.lit(0.0)).alias("q"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = joined.select(
+        F.sum("p").over(w).alias("cp"), F.sum("q").over(w).alias("cq")
+    )
+    return cdf.agg(F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"))
+
+
+def drift_report(
+    df: DataFrame,
+    col: str,
+    baseline_hist: DataFrame,
+    bin_width: float,
+    lo: float = 0.0,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.15,
+) -> DataFrame:
+    """One-row report: (column, psi, ks, drifted boolean)."""
+    cur = histogram(df, col, bin_width, lo)
+    p = psi(cur, baseline_hist)
+    k = ks_statistic(cur, baseline_hist)
+    return p.crossJoin(k).select(
+        F.lit(col).alias("column"),
+        "psi",
+        "ks",
+        (
+            (F.col("psi") > F.lit(psi_threshold))
+            | (F.col("ks") > F.lit(ks_threshold))
+        ).alias("drifted"),
+    )
