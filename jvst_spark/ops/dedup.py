@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+- exact: one groupBy on a content hash — Catalyst map-side partial
+  aggregation keeps hot hashes from hotspotting a reducer.
+- MinHash+LSH: per-doc signatures are shuffle-free Column expressions;
+  candidate generation explodes BANDS (rows = docs x n_bands, narrow),
+  groups by band key, and only verifies Jaccard on within-bucket pairs
+  — the all-pairs O(n^2) never materializes.
+- n-gram Jaccard: exposed for verification and small candidate sets.
+- SimHash: per-doc 64-bit signature via one explode + groupBy; near-dup
+  pairs come from banding the signature (4 x 16-bit chunks: any pair
+  with hamming distance <= 3 shares at least one chunk by pigeonhole).
+
+MinHash uses lexicographic-min over md5(seed || shingle) hex strings:
+a per-seed random total order, portable to the DuckDB oracle (no
+bigint-hash conversion needed).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jvst_spark.ops.text import tokens, word_shingles
+
+N_HASHES = 16
+BAND_SIZE = 4  # -> 4 bands; similarity threshold ~ (1/b)^(1/r) ~ 0.7
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, dup_count,
+    doc_ids sorted). One shuffle on the hash."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def minhash_signature(toks: Column, n_hashes: int = N_HASHES) -> Column:
+    """Array of n lexicographic-min md5(seed||shingle) hex strings."""
+    sh = word_shingles(toks)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"mh{i}|"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band int, band_key string): LSH bucket keys. Narrow
+    explode — n_bands rows per doc."""
+    sig = minhash_signature(tokens(F.col(text_col)))
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", F.slice(sig, b * BAND_SIZE + 1, BAND_SIZE)
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket.
+    The only shuffle is on (band, band_key); bucket sizes are tiny for
+    non-duplicate corpora, so the within-bucket self-join is cheap."""
+    b = minhash_bands(df, text_col)
+    l = b.alias("l")
+    r = b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame, docs: DataFrame, text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard: keep
+    (doc_a, doc_b, jaccard) above threshold. Joins the (small)
+    candidate set back to shingle arrays — broadcast when it fits."""
+    sh = docs.select(
+        F.col("doc_id"),
+        word_shingles(tokens(F.col(text_col))).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        joined.select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.7
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
+    return jaccard_pairs(
+        lsh_candidate_pairs(df, text_col), df, text_col, threshold
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document as a 16-char hex string.
+
+    Bits come from md5(token): each of the first 16 hex chars
+    contributes 4 bits; bit b of the signature is 1 iff the sum over
+    tokens of (+1/-1) at bit b is positive. One explode (doc x token)
+    + one groupBy(doc) — linear, no O(n^2).
+    """
+    t = tokens(F.col(text_col))
+    toks_df = df.select("doc_id", F.explode(t).alias("tok"))
+    h = F.md5(F.col("tok"))
+    # per-token 64-bit vector packed as array<int> of +-1
+    bits = F.flatten(
+        F.transform(
+            F.split(F.substring(h, 1, 16), ""),
+            lambda c: _hex_char_bits(c),
+        )
+    )
+    per_tok = toks_df.select("doc_id", bits.alias("bits"))
+    summed = per_tok.groupBy("doc_id").agg(
+        F.array(
+            *[F.sum(F.element_at("bits", i + 1)).alias(f"b{i}") for i in range(64)]
+        ).alias("sums")
+    )
+    sig_bits = F.transform(
+        F.col("sums"), lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return summed.select(
+        "doc_id", F.concat_ws("", sig_bits).alias("simhash")
+    )
+
+
+def _hex_char_bits(c: Column) -> Column:
+    """Hex char -> array of 4 ints in {-1, +1} (MSB first)."""
+    v = (
+        F.when(c == "a", 10).when(c == "b", 11).when(c == "c", 12)
+        .when(c == "d", 13).when(c == "e", 14).when(c == "f", 15)
+        .otherwise(c.cast("int"))
+    )
+    return F.array(
+        *[
+            F.when(((v / F.lit(1 << (3 - j))).cast("int") % 2) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for j in range(4)
+        ]
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: signatures split into 4
+    16-bit chunks; pairs sharing a chunk are candidates (pigeonhole:
+    hamming <= 3 over 4 chunks => one chunk equal); verify hamming."""
+    sig = simhash_signatures(df, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.substring("simhash", i * 16 + 1, 16).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", ""), F.split("sig_b", ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

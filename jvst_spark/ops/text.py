@@ -1,0 +1,101 @@
+"""Text-analysis operators: tokenization, shingles, language-ID,
+quality scoring, fingerprinting.
+
+All pure Column expressions (split/transform/aggregate) — vectorized,
+shuffle-free, linear in input. Hashing uses md5 (portable across
+Spark and the DuckDB oracle; xxhash64 exists in Spark but not DuckDB,
+so headline queries avoid it — the reference's UEM uses xxHash64 seed
+0, src/validate_uniq.c:25-51, which we mirror engine-side where no
+oracle is needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword set for the language-ID heuristic (top English function
+# words; the synthetic corpus is English-like regardless of its `lang`
+# label, so the heuristic is exercised honestly)
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, lowercased, empty tokens dropped."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: F.length(t) > 0)
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-gram word shingles, distinct, as strings joined by single
+    spaces. Documents shorter than k words yield their full token join
+    (one shingle) so no document is unshingleable."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len)."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+            )
+            / F.greatest(F.size(t), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    0.4 * min(n_tokens/50, 1)           (enough content)
+    + 0.3 * distinct_ratio              (not degenerate repetition)
+    + 0.3 * stopword_ratio * 5 capped   (natural-language-ness)
+    """
+    t = tokens(F.col(text_col))
+    n = F.greatest(F.size(t), F.lit(1))
+    stop_hits = F.size(
+        F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    score = (
+        F.lit(0.4) * F.least(F.size(t) / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.size(F.array_distinct(t)) / n)
+        + F.lit(0.3) * F.least(stop_hits * F.lit(5.0) / n, F.lit(1.0))
+    )
+    return df.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: English stopword density
+    over tokens -> label. Deterministic, engine-portable."""
+    t = tokens(F.col(text_col))
+    n = F.greatest(F.size(t), F.lit(1))
+    density = (
+        F.size(F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS])))
+        / n
+    )
+    return df.select(
+        "doc_id",
+        F.when(density >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias(
+            "lang_pred"
+        ),
+        F.round(density, 6).alias("stopword_density"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set.
+    Robust to word order and duplication — two docs with the same
+    vocabulary collide, the standard cheap near-dup prefilter."""
+    t = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.select(
+        "doc_id", F.md5(F.concat_ws(" ", t)).alias("fingerprint")
+    )
