@@ -143,8 +143,8 @@ def lsh_ann_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_tables: int = 4,
-    n_planes: int = 12,
+    n_tables: int = 12,
+    n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

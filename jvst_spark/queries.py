@@ -272,6 +272,358 @@ def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_totalprice").unionAll(prof("o_custkey"))
 
 
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+# shared token derivation, kept textually adjacent to its SQL twin
+_TOKS_SQL = (
+    "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+)
+_STOPS_SQL = "('the','a','of','and','to','in','is','it','for','on')"
+
+
+@query(
+    "text_token_stats",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id, len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       round(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+             / greatest(len(tk), 1), 6) AS avg_token_len
+FROM toks
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvst_spark.ops.text import token_stats
+
+    return token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "text_quality",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id, round(
+    0.4 * least(len(tk) / 50.0, 1.0)
+  + 0.3 * (len(list_distinct(tk)) / greatest(len(tk), 1))
+  + 0.3 * least(len(list_filter(tk, t -> t IN {_STOPS_SQL})) * 5.0
+                / greatest(len(tk), 1), 1.0), 6) AS quality
+FROM toks
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvst_spark.ops.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "text_langid",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id,
+       CASE WHEN len(list_filter(tk, t -> t IN {_STOPS_SQL}))
+                 / greatest(len(tk), 1) >= 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred,
+       round(len(list_filter(tk, t -> t IN {_STOPS_SQL}))
+             / greatest(len(tk), 1), 6) AS stopword_density
+FROM toks
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvst_spark.ops.text import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint
+FROM toks
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvst_spark.ops.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# ---------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------
+
+# corpus with injected EXACT duplicates: ids % 43 re-appear verbatim
+# under id+2_000_000
+_EXACT_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 43 = 0
+"""
+
+# corpus with injected NEAR duplicates: ids % 31 re-appear with the
+# last 5 words dropped, under id+1_000_000
+_NEAR_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000,
+       array_to_string(list_slice(string_split(text, ' '), 1,
+         greatest(len(string_split(text, ' ')) - 5, 1)), ' ')
+FROM documents WHERE doc_id % 31 = 0
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 43 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(copies)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = F.split(F.col("text"), " ")
+    trunc = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1)))
+    )
+    copies = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.unionAll(copies)
+
+
+@query(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_EXACT_CORPUS_SQL})
+SELECT md5(text) AS content_hash, count(*) AS dup_count,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM corpus GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one groupBy on the content hash (map-side partial
+    aggregation absorbs duplicate-heavy hashes)."""
+    corpus = _exact_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def _minhash_sql(n_hashes: int = 16, band_size: int = 4) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('mh{i}|' || s)))"
+        for i in range(n_hashes)
+    )
+    keys = " || '|' || ".join(
+        f"sig[b*{band_size} + {j + 1}]" for j in range(band_size)
+    )
+    return f"""
+toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+shg AS (SELECT doc_id, list_distinct(list_transform(
+          range(0, greatest(len(tk) - 3, 0) + 1),
+          i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS sh
+        FROM toks),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM shg),
+bands AS (SELECT doc_id, b, {keys} AS key
+          FROM sig, (SELECT unnest(range(0, {n_hashes // band_size})) AS b)),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+pair AS (SELECT doc_a, doc_b, a.sh AS sh_a, b.sh AS sh_b
+         FROM cand JOIN shg a ON a.doc_id = doc_a
+                   JOIN shg b ON b.doc_id = doc_b)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+{_minhash_sql()}
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sh_a, sh_b))
+             / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
+         AS jaccard
+FROM pair
+WHERE round(len(list_intersect(sh_a, sh_b))
+            / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
+      >= 0.7
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4 bands) candidates -> exact Jaccard verify.
+    All-pairs never materializes; the only shuffles are on band keys
+    and the (tiny) candidate set."""
+    from jvst_spark.ops.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_near_corpus(spark, sf_dir), threshold=0.7)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+WITH corpus AS (SELECT doc_id, text FROM ({_NEAR_CORPUS_SQL})
+                WHERE doc_id % 1000000 < 150),
+{_minhash_sql().split('sig AS')[0]}
+pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sh AS sh_a, b.sh AS sh_b
+         FROM shg a JOIN shg b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sh_a, sh_b))
+             / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
+         AS jaccard
+FROM pair
+WHERE round(len(list_intersect(sh_a, sh_b))
+            / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
+      >= 0.3
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram Jaccard on a bounded slice (the exact
+    verification primitive; LSH above is the scale path)."""
+    from jvst_spark.ops.dedup import jaccard_pairs
+
+    corpus = _near_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 1000000 < 150
+    )
+    a = corpus.select(F.col("doc_id").alias("doc_a"))
+    b = corpus.select(F.col("doc_id").alias("doc_b"))
+    cand = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return jaccard_pairs(cand, corpus, threshold=0.3)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+tt AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM tt),
+bits AS (SELECT doc_id, b,
+    CASE WHEN ((strpos('0123456789abcdef',
+                       substr(hx, (b // 4) + 1, 1)) - 1)
+               >> (3 - (b % 4))) & 1 = 1
+         THEN 1 ELSE -1 END AS v
+    FROM h, (SELECT unnest(range(0, 64)) AS b)),
+s AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+      FROM bits GROUP BY doc_id, b)
+SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+FROM s GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvst_spark.ops.dedup import simhash_signatures
+
+    return simhash_signatures(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             round({_COS_SQL.format(a='qv', b='nv')}, 6) AS sim
+      FROM q, c WHERE neighbor_id != query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (brute-force
+    baseline: broadcast queries, stream the corpus once)."""
+    from jvst_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@query(
+    "sim_near_dup",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+""",
+)
+def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact; LSH variant below
+    is the approximate scale path)."""
+    from jvst_spark.ops.similarity import near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_pairs(emb, threshold=0.4)
+
+
+@query("sim_lsh_ann_topk")  # no SQL oracle: hyperplanes are md5-derived
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (12 tables x 4
+    planes, ~0.8 recall on unclustered synthetic vectors — the
+    hardest case for sign-LSH): bucket-join candidates, exact re-rank. Rows-only check;
+    recall vs the exact query is asserted in tests."""
+    from jvst_spark.ops.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, emb.filter("vec_id < 10"), dim=64, k=5)
+
+
+# ---------------------------------------------------------------------
+# multimodal plumbing (decode step stubbed; Spark mechanics real)
+# ---------------------------------------------------------------------
+
+
+@query("multimodal_decode")  # no SQL oracle: mapInPandas stage
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads -> feature vectors via Arrow-batched mapInPandas
+    (deterministic stub decoder; see ops/multimodal.py)."""
+    from jvst_spark.ops.multimodal import decode_features, synthetic_media
+
+    media = synthetic_media(spark, sf_dir)
+    out = decode_features(media)
+    return out.select(
+        "media_ref",
+        "media_type",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
