@@ -1,0 +1,160 @@
+"""Per-partition lineage + metrics manifests — resumable runs.
+
+The north rule requires restartable validation with per-partition
+lineage: jvst's JVST_MORE incremental resume (src/validate.h:9,
+src/validate_vm.c:1713-1716) is per-document; at table scale the
+resume unit becomes a PARTITION BUCKET (hash of the doc key).
+
+Layout under <out_dir>/:
+    verdicts/bucket=<b>/...parquet      one self-contained output slice
+    _manifests/bucket-<b>.json          written AFTER the slice commits
+
+A bucket's manifest records the input fingerprint, the compiled spec
+hash (stable because canonify orders the DAG deterministically), and
+row metrics. On restart, buckets whose manifest matches (same input
+fingerprint + same spec hash) are skipped; everything else recomputes.
+Writing the manifest last makes each bucket's commit atomic-enough for
+crash resume (a torn parquet dir without a manifest is recomputed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jvst_spark.compiler.plan import CompiledSpec, ValidationPlan
+
+
+def spec_hash(spec: CompiledSpec) -> str:
+    """Stable hash of the compiled constraint DAG (canonify guarantees
+    deterministic child order, so repr is a canonical form — the same
+    determinism jvst's mcase sorting provides,
+    src/validate_constraints.c:2851-2888)."""
+    payload = repr(spec.root) + "|" + repr(sorted(spec.defs.items()))
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass
+class BucketResult:
+    bucket: int
+    skipped: bool
+    n_docs: int
+    n_valid: int
+    n_violations: int
+
+
+class CheckpointedValidation:
+    """Bucket-wise resumable validation run.
+
+    Buckets = pmod(xxhash64(doc_id), n_buckets) — deterministic,
+    uniform, independent of physical partitioning (same doc lands in
+    the same bucket across restarts and cluster sizes).
+    """
+
+    def __init__(
+        self,
+        plan: ValidationPlan,
+        out_dir: str,
+        n_buckets: int = 16,
+        id_col: str = "doc_id",
+    ):
+        self.plan = plan
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.id_col = id_col
+        self._spec_hash = spec_hash(plan.spec)
+        os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+
+    def _manifest_path(self, bucket: int) -> str:
+        return os.path.join(self.out_dir, "_manifests", f"bucket-{bucket}.json")
+
+    def _bucket_done(self, bucket: int, input_fingerprint: str) -> Optional[dict]:
+        p = self._manifest_path(bucket)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except (ValueError, OSError):
+            return None
+        if (
+            m.get("spec_hash") == self._spec_hash
+            and m.get("input_fingerprint") == input_fingerprint
+        ):
+            return m
+        return None
+
+    def run(
+        self,
+        df: DataFrame,
+        input_fingerprint: str,
+        buckets: Optional[List[int]] = None,
+    ) -> List[BucketResult]:
+        """Validate df bucket-by-bucket; skip completed buckets.
+
+        input_fingerprint: caller-provided identity of the input
+        snapshot (e.g. source path + row count, or an Iceberg snapshot
+        id in production).
+        """
+        results = []
+        bucket_col = F.pmod(F.xxhash64(F.col(self.id_col)), self.n_buckets)
+        for b in buckets if buckets is not None else range(self.n_buckets):
+            done = self._bucket_done(b, input_fingerprint)
+            if done:
+                results.append(
+                    BucketResult(
+                        b, True, done["n_docs"], done["n_valid"],
+                        done["n_violations"],
+                    )
+                )
+                continue
+            part = df.filter(bucket_col == b)
+            res = self.plan.apply_typed(part, id_col=self.id_col)
+            out_path = os.path.join(self.out_dir, "verdicts", f"bucket={b}")
+            frame = res.frame
+            frame.write.mode("overwrite").parquet(out_path)
+            m = (
+                res.frame.sparkSession.read.parquet(out_path)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("valid").cast("long")).alias("v"),
+                    F.sum(F.size("_violations").cast("long")).alias("x"),
+                )
+                .collect()[0]
+            )
+            manifest = {
+                "bucket": b,
+                "n_docs": int(m["n"]),
+                "n_valid": int(m["v"] or 0),
+                "n_violations": int(m["x"] or 0),
+                "spec_hash": self._spec_hash,
+                "input_fingerprint": input_fingerprint,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            tmp = self._manifest_path(b) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path(b))
+            results.append(
+                BucketResult(
+                    b, False, manifest["n_docs"], manifest["n_valid"],
+                    manifest["n_violations"],
+                )
+            )
+        return results
+
+    def metrics(self) -> List[dict]:
+        out = []
+        mdir = os.path.join(self.out_dir, "_manifests")
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+        return out
