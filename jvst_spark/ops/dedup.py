@@ -63,20 +63,29 @@ def minhash_signature(toks: Column, n_hashes: int = N_HASHES) -> Column:
 
 def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, band int, band_key string): LSH bucket keys. Narrow
-    explode — n_bands rows per doc."""
+    explode — n_bands rows per doc.
+
+    The signature expression (n_hashes md5 passes over the shingle
+    array) is let-bound via transform-over-singleton so the n_bands
+    band keys slice ONE evaluation of it — embedding `sig` into each
+    band key would multiply the dominant cost by n_bands."""
     sig = minhash_signature(tokens(F.col(text_col)))
     n_bands = N_HASHES // BAND_SIZE
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", F.slice(sig, b * BAND_SIZE + 1, BAND_SIZE)
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+
+    def bands_of(s: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|", F.slice(s, b * BAND_SIZE + 1, BAND_SIZE)
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    bands = F.element_at(F.transform(F.array(sig), bands_of), 1)
     return df.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
@@ -85,8 +94,10 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
     The only shuffle is on (band, band_key); bucket sizes are tiny for
-    non-duplicate corpora, so the within-bucket self-join is cheap."""
-    b = minhash_bands(df, text_col)
+    non-duplicate corpora, so the within-bucket self-join is cheap.
+    Bands are cached: the self-join would otherwise evaluate the
+    signature expression once per side."""
+    b = minhash_bands(df, text_col).cache()
     l = b.alias("l")
     r = b.alias("r")
     return (
@@ -113,19 +124,19 @@ def jaccard_pairs(
     sh = docs.select(
         F.col("doc_id"),
         word_shingles(tokens(F.col(text_col))).alias("sh"),
-    )
+    ).cache()  # joined twice (a/b side); cache avoids re-deriving
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter / F.greatest(union, F.lit(1))
-    return (
-        joined.select(
-            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    # explode(array(...)) = Generate barrier: stops the >= filter from
+    # being pushed below the projection, which would re-evaluate the
+    # intersect/union per row
+    return joined.select(
+        "doc_a", "doc_b", F.explode(F.array(jac)).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_dedup(
