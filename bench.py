@@ -38,7 +38,7 @@ def get_spark(cores: int):
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "16g")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .getOrCreate()
     )
@@ -113,9 +113,11 @@ def main():
     # warm the JVM/file cache with a cheap action
     spark.read.parquet(input_path).count()
 
+    # min-of-5: this host shows 10x wall-time noise under load (96%%
+    # kernel-time storms); the minimum approximates uncontended perf
     n_docs, val_sec = run_validation(spark, input_path)
-    for _ in range(2):  # JIT warmup: interpreted-expression paths take
-        n_docs, s2 = run_validation(spark, input_path)  # 2-3 runs to C2-compile
+    for _ in range(4):
+        n_docs, s2 = run_validation(spark, input_path)
         val_sec = min(val_sec, s2)
     queries = {"flagship_validate": round(val_sec, 3)}
     queries.update(timed_queries(spark, SF_DIR))
@@ -140,7 +142,7 @@ def main():
             s.sparkContext.setLogLevel("ERROR")
             s.read.parquet(input_path).count()  # warm
             n, sec = run_validation(s, input_path)
-            for _ in range(2):  # JIT warmup (see above)
+            for _ in range(4):  # min-of-5 (see above)
                 n, s2 = run_validation(s, input_path)
                 sec = min(sec, s2)
             s.stop()
