@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "500000"))
+TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "2000000"))
 
 
 def get_spark(cores: int):
@@ -39,7 +39,11 @@ def get_spark(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # the bench table compresses to ~90B/doc; fine splits keep
+        # hundreds of tasks in flight so a noisy-host straggler cannot
+        # idle 31 cores (observed: 32 one-wave tasks -> 10x tail noise)
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "512k")
         .getOrCreate()
     )
 
@@ -64,7 +68,7 @@ def ensure_bench_input(spark, sf_dir: str) -> str:
 
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         replicas = max(1, TARGET_DOCS // max(n_docs, 1))
-        parts = max(64, (n_docs * replicas) // 8000)
+        parts = max(64, (n_docs * replicas) // 4000)
         df = replicated_spans(spark, sf_dir, replicas, partitions=parts)
         df.write.mode("overwrite").parquet(path)
     return path

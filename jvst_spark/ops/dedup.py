@@ -65,11 +65,11 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, band int, band_key string): LSH bucket keys. Narrow
     explode — n_bands rows per doc.
 
-    The signature expression (n_hashes md5 passes over the shingle
-    array) is let-bound via transform-over-singleton so the n_bands
-    band keys slice ONE evaluation of it — embedding `sig` into each
-    band key would multiply the dominant cost by n_bands."""
-    sig = minhash_signature(tokens(F.col(text_col)))
+    Two binding layers keep the expensive subexpressions single-
+    evaluation: the shingle array is materialized through a Generate
+    barrier (explode of a singleton) so the 16 per-seed md5 passes read
+    an attribute instead of re-deriving shingles 16x; the signature is
+    let-bound so the n_bands key slices share one evaluation."""
     n_bands = N_HASHES // BAND_SIZE
 
     def bands_of(s: Column) -> Column:
@@ -85,8 +85,22 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
             ]
         )
 
+    sh_df = df.select(
+        "doc_id",
+        F.explode(
+            F.array(word_shingles(tokens(F.col(text_col))))
+        ).alias("_sh"),
+    )
+
+    def seed_min(i: int) -> Column:
+        seed = F.lit(f"mh{i}|")
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(seed, s)))
+        )
+
+    sig = F.array(*[seed_min(i) for i in range(N_HASHES)])
     bands = F.element_at(F.transform(F.array(sig), bands_of), 1)
-    return df.select("doc_id", F.explode(bands).alias("bk")).select(
+    return sh_df.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 

@@ -583,12 +583,14 @@ WHERE a.vec_id < b.vec_id
 """,
 )
 def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact; LSH variant below
-    is the approximate scale path)."""
-    from jvst_spark.ops.similarity import near_dup_pairs
+    """Embedding-cosine near-duplicate pairs via blocked GEMM (exact;
+    the Column-expression variant lives in ops/similarity.near_dup_pairs
+    and agrees value-for-value; the LSH variant below is the
+    approximate scale path)."""
+    from jvst_spark.ops.similarity import near_dup_pairs_blocked
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return near_dup_pairs(emb, threshold=0.4)
+    return near_dup_pairs_blocked(emb, threshold=0.4)
 
 
 @query("sim_lsh_ann_topk")  # no SQL oracle: hyperplanes are md5-derived
