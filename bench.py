@@ -32,9 +32,15 @@ TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "2000000"))
 def get_spark(cores: int):
     from pyspark.sql import SparkSession
 
+    # GC parallelism pinned to the simulated executor size — the JVM
+    # default (~23 GC threads machine-wide) subsidizes small configs
+    # and distorts N-vs-4N scaling measurements
+    gc = (f"-XX:ParallelGCThreads={max(cores // 2, 2)} "
+          f"-XX:ConcGCThreads={max(cores // 4, 1)}")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"jvst-spark-bench-{cores}")
+        .config("spark.driver.extraJavaOptions", gc)
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -127,6 +127,31 @@ def val_flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "val_spans_unique",
+    f"""
+WITH spans_tbl AS ({SPANS_SQL})
+SELECT doc_id,
+       len(list_distinct(spans)) = len(spans) AS spans_unique
+FROM spans_tbl
+""",
+)
+def val_spans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueItems over the spans array via canonical serialization
+    (the UEM recipe, SURVEY op 22) — typed lowering path."""
+    from jvst_spark.compiler.typed import lower_typed
+    from jvst_spark.spec.nodes import ArrUnique
+
+    df = spans_from_documents(spark, sf_dir)
+    spans_type = df.schema["spans"].dataType
+    return df.select(
+        "doc_id",
+        F.coalesce(
+            lower_typed(ArrUnique(), spans_type, F.col("spans")), F.lit(True)
+        ).alias("spans_unique"),
+    )
+
+
 # ---------------------------------------------------------------------
 # table-level checks (ops 41-43)
 # ---------------------------------------------------------------------

@@ -20,10 +20,13 @@ b = (
     .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
-    .config("spark.driver.memory", "48g")
+    .config("spark.driver.memory", "16g")
 )
-if java_opts:
-    b = b.config("spark.driver.extraJavaOptions", java_opts)
+# pin GC parallelism to the simulated executor size — otherwise the
+# JVM donates ~23 GC threads (machine-wide default) to every level,
+# subsidizing small configs and distorting scaling efficiency
+gc_opts = f"-XX:ParallelGCThreads={max(cores // 2, 2)} -XX:ConcGCThreads={max(cores // 4, 1)}"
+b = b.config("spark.driver.extraJavaOptions", f"{gc_opts} {java_opts}".strip())
 spark = b.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 

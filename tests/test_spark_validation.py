@@ -100,6 +100,17 @@ class TestFlagshipTyped:
         assert "BatchEvalPython" not in explained
         assert "ArrowEvalPython" not in explained
 
+    def test_fast_valid_agrees_with_violation_program(self, flagship_result):
+        """The two-tier layout computes `valid` from the fused boolean
+        pass and violations from the check decomposition — they are
+        derived independently from the same DAG and must agree row-wise
+        (valid <=> no violations)."""
+        bad = flagship_result.filter(
+            (F.col("valid") & (F.size("_violations") > 0))
+            | (~F.col("valid") & (F.size("_violations") == 0))
+        ).count()
+        assert bad == 0
+
     def test_verdict_counts(self, flagship_result):
         n = flagship_result.count()
         n_valid = flagship_result.filter("valid").count()
