@@ -93,6 +93,20 @@ def val_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship_plan().apply_typed(df).verdicts().select("doc_id", "valid")
 
 
+@query(
+    "val_flagship_verdicts_arrow",
+    f"WITH spans_tbl AS ({SPANS_SQL}) "
+    f"SELECT doc_id, ({FLAGSHIP_VALID_SQL}) AS valid FROM spans_tbl",
+)
+def val_flagship_verdicts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same verdicts via the Arrow-kernel backend (mapInArrow) — must
+    hash-match the Column path's oracle exactly."""
+    from jvst_spark.compiler.arrow_backend import arrow_verdicts
+
+    df = spans_from_documents(spark, sf_dir)
+    return arrow_verdicts(_flagship_plan(), df)
+
+
 @query("val_flagship_violations", _VIOLATIONS_SQL)
 def val_flagship_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded violation rows (doc_id, code, path) — jvst error codes."""

@@ -34,6 +34,9 @@ def make(cores):
     return s
 
 
+MODE = "arrow" if "--arrow" in sys.argv else "column"
+
+
 def run_once(spark):
     from pyspark.sql import functions as F
 
@@ -43,9 +46,16 @@ def run_once(spark):
     df = spark.read.parquet(INPUT)
     plan = ValidationPlan(compile_schema(FLAGSHIP_SPEC))
     t0 = time.perf_counter()
-    r = df and plan.apply_typed(df).frame.agg(
-        F.count("*"), F.sum(F.col("valid").cast("long"))
-    ).collect()
+    if MODE == "arrow":
+        from jvst_spark.compiler.arrow_backend import arrow_verdicts
+
+        r = arrow_verdicts(plan, df).agg(
+            F.count("*"), F.sum(F.col("valid").cast("long"))
+        ).collect()
+    else:
+        r = plan.apply_typed(df).frame.agg(
+            F.count("*"), F.sum(F.col("valid").cast("long"))
+        ).collect()
     return r[0][0], time.perf_counter() - t0
 
 
