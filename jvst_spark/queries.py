@@ -143,11 +143,18 @@ def val_flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "val_spans_unique",
+    # DuckDB can't list_distinct struct lists; serialize each span with
+    # the same equivalence classes as canon_expr (null field = absent,
+    # field-tagged values; span text tokens contain no ';'/'=')
     f"""
-WITH spans_tbl AS ({SPANS_SQL})
-SELECT doc_id,
-       len(list_distinct(spans)) = len(spans) AS spans_unique
-FROM spans_tbl
+WITH spans_tbl AS ({SPANS_SQL}),
+canon AS (SELECT doc_id, list_transform(spans, s -> concat(
+    CASE WHEN s.kind IS NULL THEN '' ELSE 'k=' || s.kind || ';' END,
+    CASE WHEN s.media_ref IS NULL THEN '' ELSE 'm=' || s.media_ref || ';' END,
+    CASE WHEN s."offset" IS NULL THEN '' ELSE 'o=' || CAST(s."offset" AS VARCHAR) || ';' END,
+    CASE WHEN s.text IS NULL THEN '' ELSE 't=' || s.text || ';' END
+  )) AS cs, len(spans) AS n FROM spans_tbl)
+SELECT doc_id, len(list_distinct(cs)) = n AS spans_unique FROM canon
 """,
 )
 def val_spans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
