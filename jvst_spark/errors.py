@@ -35,26 +35,30 @@ INVALID_DUPLICATE_KEY = 0x0100       # table-level uniqueness violation
 INVALID_DANGLING_REF = 0x0101        # referential-integrity violation
 INVALID_DISTRIBUTION_DRIFT = 0x0102  # KS/PSI drift gate violation
 
+# message strings byte-match the reference's jvst_invalid_msg
+# (src/validate_ir.c:70-135) — the span-sequence-equality invariant
+# requires violation rows to round-trip byte-identically
 _MESSAGES = {
     INVALID_UNEXPECTED_TOKEN: "unexpected token",
     INVALID_NOT_INTEGER: "number is not an integer",
-    INVALID_NUMBER: "invalid number",
-    INVALID_TOO_FEW_PROPS: "object has too few properties",
-    INVALID_TOO_MANY_PROPS: "object has too many properties",
-    INVALID_MISSING_REQUIRED_PROPERTIES: "object is missing required properties",
+    INVALID_NUMBER: "number not valid",
+    INVALID_TOO_FEW_PROPS: "too few properties",
+    INVALID_TOO_MANY_PROPS: "too many properties",
+    INVALID_MISSING_REQUIRED_PROPERTIES: "missing required properties",
     INVALID_SPLIT_CONDITION: "invalid split condition",
     INVALID_BAD_PROPERTY_NAME: "bad property name",
-    INVALID_MATCH_CASE: "invalid match case",
+    INVALID_MATCH_CASE: "invalid match case (internal error)",
     INVALID_STRING: "invalid string",
     INVALID_LENGTH_TOO_SHORT: "length is too short",
     INVALID_LENGTH_TOO_LONG: "length is too long",
-    INVALID_ARRAY: "invalid array",
+    INVALID_ARRAY: "array is invalid",
     INVALID_TOO_FEW_ITEMS: "array has too few items",
     INVALID_TOO_MANY_ITEMS: "array has too many items",
     INVALID_UNSATISFIED_CONTAINS: "contains constraint is not satisfied",
     INVALID_NOT_MULTIPLE: "number is not an integer multiple",
-    INVALID_NOT_UNIQUE: "array items are not unique",
-    INVALID_JSON: "invalid JSON",
+    INVALID_NOT_UNIQUE: "array elements are not unique",
+    INVALID_JSON: "encountered invalid JSON",
+    # engine extensions (no reference analogue)
     INVALID_DUPLICATE_KEY: "duplicate key across table",
     INVALID_DANGLING_REF: "dangling reference (no match in dimension)",
     INVALID_DISTRIBUTION_DRIFT: "distribution drift beyond threshold",
@@ -62,5 +66,5 @@ _MESSAGES = {
 
 
 def invalid_msg(code: int) -> str:
-    """Human message for a violation code (jvst_invalid_msg analogue)."""
-    return _MESSAGES.get(code, "unknown validation error")
+    """Byte-identical to jvst_invalid_msg (src/validate_ir.c:70-135)."""
+    return _MESSAGES.get(code, "Unknown error")

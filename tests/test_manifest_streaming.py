@@ -99,6 +99,42 @@ class TestStreaming:
         }
         assert got == expect
 
+    def test_stateful_streaming_dedup(self, spark, tmp_path):
+        from jvst_spark.streaming.stateful_dedup import streaming_duplicates
+
+        # two files = two micro-batches; doc 'a' repeats within batch 1
+        # and again in batch 2; 'b' repeats across batches only
+        d = tmp_path / "dd"
+        d.mkdir()
+        import json as _json
+
+        with open(d / "batch1.json", "w") as f:
+            for x in ["a", "a", "b", "c"]:
+                f.write(_json.dumps({"doc_id": x}) + "\n")
+        with open(d / "batch2.json", "w") as f:
+            for x in ["b", "a", "d"]:
+                f.write(_json.dumps({"doc_id": x}) + "\n")
+        stream = spark.readStream.schema("doc_id string").option(
+            "maxFilesPerTrigger", "1"
+        ).json(str(d))
+        dupes = streaming_duplicates(stream, n_groups=4)
+        q = (
+            dupes.writeStream.format("memory")
+            .queryName("dupstream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = sorted(
+            (r["doc_id"], r["n_seen"])
+            for r in spark.sql("SELECT * FROM dupstream").collect()
+        )
+        # 'a' dup within batch1 (n=2) and once more later (n=3);
+        # 'b' dup across batches (n=2); order of files = name order
+        assert rows == [("a", 2), ("a", 3), ("b", 2)]
+
     def test_violation_rate_windows(self, spark, tmp_path):
         from jvst_spark.streaming.validate_stream import (
             violation_rate_windows,

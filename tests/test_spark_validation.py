@@ -160,7 +160,8 @@ class TestDynamicJsonPath:
         df = spark.createDataFrame([("a", "{}")], ["doc_id", "body"])
         vio = plan.apply_json(df, "body").violations().collect()
         assert vio[0]["code"] == E.INVALID_MISSING_REQUIRED_PROPERTIES
-        assert vio[0]["message"] == "object is missing required properties"
+        # byte-matches the reference (src/validate_ir.c:93-94)
+        assert vio[0]["message"] == "missing required properties"
 
 
 class TestTypedParityRandomized:
