@@ -1,0 +1,102 @@
+"""CLI entry point mirroring the reference's (src/main.c:165-421):
+
+    python -m jvst_spark compile <schema.json> [-o plan.json]
+        jvst -c: compile the schema through all stages, write the plan
+        artifact (or print the canonical DAG with -v).
+
+    python -m jvst_spark validate <schema.json|plan.json> <doc.json>...
+        jvst -c -r: compile + run documents. Exit code 0 if ALL
+        documents valid, 1 otherwise (the reference's verdict-as-exit-
+        code sink, src/main.c:413-417). Violations print to stderr as
+        code\\tpath\\tmessage.
+
+Single-document runs use the compiled-Python evaluator directly (no
+Spark session — the per-document path is pure Python, exactly as the
+reference runs one VM per document). Table-scale validation goes
+through scripts/submit_job.py instead.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load_spec(path: str):
+    from jvst_spark.compiler import artifact
+    from jvst_spark.compiler.plan import compile_schema
+
+    with open(path) as f:
+        text = f.read()
+    d = json.loads(text)
+    if isinstance(d, dict) and d.get("format") == artifact.FORMAT_VERSION:
+        return artifact.loads(text)
+    return compile_schema(d)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 2
+    cmd = argv.pop(0)
+
+    if cmd == "compile":
+        verbose = "-v" in argv and (argv.remove("-v") or True)
+        out = None
+        if "-o" in argv:
+            i = argv.index("-o")
+            out = argv[i + 1]
+            del argv[i : i + 2]
+        if len(argv) != 1:
+            print("usage: compile <schema.json> [-o plan.json] [-v]",
+                  file=sys.stderr)
+            return 2
+        spec = _load_spec(argv[0])
+        if verbose:
+            print(repr(spec.root))
+            for uri, node in sorted(spec.defs.items()):
+                print(f"{uri}: {node!r}")
+        if out:
+            from jvst_spark.compiler import artifact
+
+            artifact.save(spec, out)
+        return 0
+
+    if cmd == "validate":
+        if len(argv) < 2:
+            print("usage: validate <schema.json> <doc.json>...",
+                  file=sys.stderr)
+            return 2
+        from jvst_spark.compiler.pyeval import compile_explain
+        from jvst_spark import errors as E
+
+        spec = _load_spec(argv[0])
+        explainer = compile_explain(spec.root, spec.defs)
+        all_valid = True
+        for doc_path in argv[1:]:
+            try:
+                with open(doc_path) as f:
+                    doc = json.load(f)
+            except ValueError:
+                print(f"{doc_path}:\t{E.INVALID_JSON:#06x}\t$\t"
+                      f"{E.invalid_msg(E.INVALID_JSON)}", file=sys.stderr)
+                all_valid = False
+                continue
+            violations = explainer(doc)
+            if violations:
+                all_valid = False
+                for code, path in violations:
+                    print(
+                        f"{doc_path}:\t{code:#06x}\t{path}\t"
+                        f"{E.invalid_msg(code)}",
+                        file=sys.stderr,
+                    )
+        return 0 if all_valid else 1
+
+    print(f"unknown command: {cmd}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,6 +76,63 @@ def ks_statistic(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame
     return cdf.agg(F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"))
 
 
+def baseline_from_df(
+    df: DataFrame, cols_widths: dict, lo: float = 0.0
+) -> DataFrame:
+    """Build a stored baseline histogram table in the FIXTURES.md §2
+    shape: (column string, bin int, p double). Persist it once per
+    reference snapshot; later runs drift-check against it without
+    touching the reference data again."""
+    parts = []
+    for col, width in cols_widths.items():
+        h = _masses(histogram(df, col, width, lo), "n").select(
+            F.lit(col).alias("column"), "bin", "p"
+        )
+        parts.append(h)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def drift_vs_baseline(
+    df: DataFrame,
+    baseline: DataFrame,
+    cols_widths: dict,
+    lo: float = 0.0,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.15,
+) -> DataFrame:
+    """Per-column drift report against a stored (column, bin, p)
+    baseline table: (column, psi, ks, drifted). The baseline is tiny —
+    it broadcasts; the only data-sized cost is one binned aggregation
+    per column."""
+    reports = []
+    for col, width in cols_widths.items():
+        cur = histogram(df, col, width, lo)
+        base = (
+            baseline.filter(F.col("column") == col)
+            .select("bin", F.col("p").alias("n"))  # masses work as weights
+        )
+        p = psi(cur, base)
+        k = ks_statistic(cur, base)
+        reports.append(
+            p.crossJoin(k).select(
+                F.lit(col).alias("column"),
+                F.round("psi", 6).alias("psi"),
+                F.round("ks", 6).alias("ks"),
+                (
+                    (F.col("psi") > F.lit(psi_threshold))
+                    | (F.col("ks") > F.lit(ks_threshold))
+                ).alias("drifted"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 def drift_report(
     df: DataFrame,
     col: str,

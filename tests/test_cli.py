@@ -1,0 +1,61 @@
+"""CLI parity with the reference's entry points (src/main.c:165-421):
+verdict-as-exit-code, compile-to-artifact."""
+
+import json
+import subprocess
+import sys
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "jvst_spark", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+
+
+def test_validate_exit_codes(tmp_path):
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"type": "integer", "minimum": 0}))
+    good = tmp_path / "good.json"
+    good.write_text("3")
+    bad = tmp_path / "bad.json"
+    bad.write_text("-1")
+
+    assert run_cli("validate", str(schema), str(good)).returncode == 0
+    r = run_cli("validate", str(schema), str(bad))
+    assert r.returncode == 1
+    assert "number not valid" in r.stderr
+    # any invalid doc fails the batch (runtests.sh exit semantics)
+    assert run_cli("validate", str(schema), str(good), str(bad)).returncode == 1
+
+
+def test_invalid_json_document(tmp_path):
+    schema = tmp_path / "schema.json"
+    schema.write_text("true")
+    broken = tmp_path / "broken.json"
+    broken.write_text("{nope")
+    r = run_cli("validate", str(schema), str(broken))
+    assert r.returncode == 1
+    assert "encountered invalid JSON" in r.stderr
+
+
+def test_compile_artifact_roundtrip(tmp_path):
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"type": "string", "minLength": 2}))
+    plan = tmp_path / "plan.json"
+    assert run_cli("compile", str(schema), "-o", str(plan)).returncode == 0
+    doc = tmp_path / "doc.json"
+    doc.write_text('"ab"')
+    # validate straight from the compiled artifact
+    assert run_cli("validate", str(plan), str(doc)).returncode == 0
+    short = tmp_path / "short.json"
+    short.write_text('"a"')
+    assert run_cli("validate", str(plan), str(short)).returncode == 1
+
+
+def test_compile_verbose_prints_dag(tmp_path):
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"type": "number"}))
+    r = run_cli("compile", str(schema), "-v")
+    assert r.returncode == 0
+    assert "Switch" in r.stdout
