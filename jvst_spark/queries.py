@@ -573,9 +573,11 @@ FROM s GROUP BY doc_id
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jvst_spark.ops.dedup import simhash_signatures
+    """Arrow/numpy SimHash (shuffle-free; output identical to the
+    Column-expression variant ops/dedup.simhash_signatures)."""
+    from jvst_spark.ops.dedup import simhash_signatures_fast
 
-    return simhash_signatures(
+    return simhash_signatures_fast(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
 

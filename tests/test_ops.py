@@ -61,8 +61,10 @@ class TestDedup:
         sigs = simhash_signatures(docs.limit(50)).collect()
         assert all(len(s["simhash"]) == 64 for s in sigs)
         assert all(set(s["simhash"]) <= {"0", "1"} for s in sigs)
-        # deterministic
-        sigs2 = simhash_signatures(docs.limit(50)).collect()
+        # deterministic, and the numpy fast path is bit-identical
+        from jvst_spark.ops.dedup import simhash_signatures_fast
+
+        sigs2 = simhash_signatures_fast(docs.limit(50)).collect()
         assert {s["doc_id"]: s["simhash"] for s in sigs} == {
             s["doc_id"]: s["simhash"] for s in sigs2
         }
