@@ -148,6 +148,7 @@ def main():
     if scaling:
         result["scaling"] = {
             "pairs": [
+                _paired_scaling(input_path, n_lo=2, rounds=3),
                 _paired_scaling(input_path, n_lo=4, rounds=3),
                 _paired_scaling(input_path, n_lo=8, rounds=3),
             ]
