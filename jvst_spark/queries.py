@@ -173,6 +173,44 @@ def val_spans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dynamic-JSON path: validate the events.props JSON column with the
+# compiled-Python pandas-UDF backend (the per-document analogue of one
+# reference VM run); the oracle re-expresses the spec in DuckDB's JSON
+# functions
+_PROPS_SPEC = {
+    "type": "object",
+    "required": ["k"],
+    "additionalProperties": False,
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
+}
+
+
+@query(
+    "val_json_props",
+    """
+SELECT event_id AS doc_id,
+       coalesce(json_valid(props)
+         AND json_type(props::JSON) = 'OBJECT'
+         AND json_extract(props, '$.k') IS NOT NULL
+         AND json_array_length(json_keys(props::JSON)) = 1
+         AND json_type(props::JSON, '$.k') IN ('INTEGER', 'UBIGINT', 'BIGINT')
+         AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 49,
+         FALSE) AS valid
+FROM events
+""",
+)
+def val_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-JSON validation (apply_json / Arrow pandas UDF) over
+    the events.props column — the dynamic backend at the oracle gate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "props"
+    )
+    plan = ValidationPlan(compile_schema(_PROPS_SPEC))
+    return plan.apply_json(ev, "props", id_col="event_id").verdicts().select(
+        "doc_id", "valid"
+    )
+
+
 # ---------------------------------------------------------------------
 # table-level checks (ops 41-43)
 # ---------------------------------------------------------------------
