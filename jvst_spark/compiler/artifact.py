@@ -17,7 +17,7 @@ from typing import Dict
 from jvst_spark.compiler.plan import CompiledSpec
 from jvst_spark.spec import nodes as N
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: length-prefixed string canonicalization
 
 _LEAF_FIELDS = {
     "Valid": (),

@@ -224,11 +224,17 @@ class ValidationPlan:
                     doc = json.loads(txt)
                 except (ValueError, RecursionError):
                     return [{"code": E.INVALID_JSON, "path": "$"}]
-                if validator(doc):
-                    return []
-                return [
-                    {"code": c, "path": p} for c, p in explainer(doc)
-                ] or [{"code": E.INVALID_UNEXPECTED_TOKEN, "path": "$"}]
+                # one adversarial document must yield a verdict, never
+                # kill the Spark task (e.g. RecursionError on a deep
+                # doc): evaluation errors -> invalid
+                try:
+                    if validator(doc):
+                        return []
+                    return [
+                        {"code": c, "path": p} for c, p in explainer(doc)
+                    ] or [{"code": E.INVALID_UNEXPECTED_TOKEN, "path": "$"}]
+                except (OverflowError, RecursionError, ValueError):
+                    return [{"code": E.INVALID_UNEXPECTED_TOKEN, "path": "$"}]
 
             return s.map(run)
 

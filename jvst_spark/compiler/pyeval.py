@@ -99,11 +99,27 @@ def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Valida
 
             return num_range
         if isinstance(n, NumInteger):
-            return lambda v: _is_integer_number(float(v))
+
+            def num_integer(v):
+                try:
+                    return _is_integer_number(float(v))
+                except OverflowError:
+                    # int beyond double range: the reference's double
+                    # is inf -> isfinite fails (src/validate_vm.c:1261)
+                    return False
+
+            return num_integer
         if isinstance(n, NumMultipleOf):
             d = n.divisor
+
             # division-based, NOT modulo (src/validate_vm.c:1248-1261)
-            return lambda v: _is_integer_number(float(v) / d)
+            def num_multiple(v, d=d):
+                try:
+                    return _is_integer_number(float(v) / d)
+                except OverflowError:
+                    return False
+
+            return num_multiple
         if isinstance(n, StrMatch):
             rx = re.compile(n.pattern)
             return lambda v: rx.search(v) is not None

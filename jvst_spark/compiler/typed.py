@@ -148,7 +148,11 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
     elif isinstance(dtype, _NUMERIC):
         out = F.concat(F.lit("n:"), col.cast("double").cast("string"))
     elif isinstance(dtype, StringType):
-        out = F.concat(F.lit("s:"), col)
+        # length-prefixed so delimiter-bearing strings can't collide
+        # with the surrounding grammar (mirrors nodes.canonicalize)
+        out = F.concat(
+            F.lit("s"), F.length(col).cast("string"), F.lit(":"), col
+        )
     elif isinstance(dtype, ArrayType):
         inner = F.transform(col, lambda x: canon_expr(x, dtype.elementType))
         out = F.concat(F.lit("a["), F.concat_ws(",", inner), F.lit("]"))
@@ -158,7 +162,8 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
                 col[f.name].isNull(), F.lit(None).cast("string")
             ).otherwise(
                 F.concat(
-                    F.lit(f"s:{f.name}="), canon_expr(col[f.name], f.dataType)
+                    F.lit(f"s{len(f.name)}:{f.name}="),
+                    canon_expr(col[f.name], f.dataType),
                 )
             )
             for f in _fields_sorted(dtype)
@@ -174,7 +179,8 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
         inner = F.transform(
             entries,
             lambda e: F.concat(
-                F.lit("s:"), e["key"], F.lit("="),
+                F.lit("s"), F.length(e["key"]).cast("string"),
+                F.lit(":"), e["key"], F.lit("="),
                 canon_expr(e["value"], dtype.valueType),
             ),
         )
@@ -464,7 +470,7 @@ class _Lowerer:
             return col.isin(bools) if bools else _F()
         if isinstance(dtype, _NUMERIC):
             nums = [
-                float(v)
+                _as_double(v)
                 for v in vals
                 if isinstance(v, (int, float)) and not isinstance(v, bool)
             ]
@@ -486,6 +492,15 @@ class _Lowerer:
             for v in lits
         ]
         return reduce(lambda a, b: a | b, conds)
+
+
+def _as_double(v) -> float:
+    """Schema number literal -> double, collapsing ints beyond double
+    range to +/-inf (the reference parses all numbers as C doubles)."""
+    try:
+        return float(v)
+    except OverflowError:
+        return math.inf if v > 0 else -math.inf
 
 
 def _literal_to_column(value, dtype: DataType) -> Column:

@@ -371,12 +371,22 @@ def canonicalize(value) -> str:
     if isinstance(value, bool):  # must precede number: bool is int in Python
         return "t" if value else "f"
     if isinstance(value, (int, float)):
-        d = float(value)
+        try:
+            d = float(value)
+        except OverflowError:
+            # ints beyond double range: the reference parses JSON
+            # numbers into C doubles, so such a value collapses to
+            # +/-inf exactly as strtod would produce
+            d = math.inf if value > 0 else -math.inf
         if math.isnan(d):
             return "n:nan"
         return f"n:{d!r}"
     if isinstance(value, str):
-        return "s:" + value
+        # length prefix keeps the serialization injective (the
+        # reference memcmps length-prefixed buffers,
+        # src/validate_uniq.c:83-87): without it ["x,s1:y"] and
+        # ["x","y"] would flatten to the same bytes
+        return f"s{len(value)}:{value}"
     if isinstance(value, (list, tuple)):
         return "a[" + ",".join(canonicalize(v) for v in value) + "]"
     if isinstance(value, dict):
@@ -384,7 +394,7 @@ def canonicalize(value) -> str:
         return (
             "o{"
             + ",".join(
-                "s:" + k + "=" + canonicalize(v) for k, v in items
+                f"s{len(k)}:{k}=" + canonicalize(v) for k, v in items
             )
             + "}"
         )

@@ -24,7 +24,7 @@ def test_flagship_roundtrip(tmp_path):
 def test_artifact_is_json():
     spec = compile_schema({"type": "integer", "minimum": 0})
     d = json.loads(artifact.dumps(spec))
-    assert d["format"] == 1
+    assert d["format"] == artifact.FORMAT_VERSION
 
 
 def test_version_gate():

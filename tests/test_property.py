@@ -24,7 +24,9 @@ json_scalar = st.one_of(
     st.booleans(),
     st.integers(min_value=-100, max_value=100),
     st.floats(min_value=-100, max_value=100, allow_nan=False),
-    st.text(alphabet="abcxyz0123456789", max_size=8),
+    # alphabet includes the canonical serializer's own delimiters so the
+    # equivalence properties exercise injectivity (round-2 fix)
+    st.text(alphabet="abcxyz0123456789,=:s[]{}.", max_size=8),
 )
 
 json_value = st.recursive(
@@ -32,7 +34,7 @@ json_value = st.recursive(
     lambda inner: st.one_of(
         st.lists(inner, max_size=4),
         st.dictionaries(
-            st.text(alphabet="abkxy", min_size=1, max_size=3), inner, max_size=4
+            st.text(alphabet="abkxy,=:", min_size=1, max_size=3), inner, max_size=4
         ),
     ),
     max_leaves=12,
