@@ -679,12 +679,53 @@ def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(emb, threshold=0.4)
 
 
-@query("sim_lsh_ann_topk")  # no SQL oracle: hyperplanes are md5-derived
+def _lsh_oracle_sql(
+    dim: int = 64, n_tables: int = 12, n_planes: int = 4, k: int = 5
+) -> str:
+    """DuckDB oracle for the LSH ANN query: the md5-derived hyperplanes
+    are deterministic, so they are emitted as literal DOUBLE[] rows
+    (values are k/32768 — exact in both engines' doubles) and the
+    bucketing + candidate join + exact re-rank is replayed in SQL."""
+    from jvst_spark.ops.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, t)):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    dot = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) * plane[i]))"
+    )
+    return f"""
+WITH planes(tbl, p, plane) AS (VALUES {values}),
+b AS (SELECT vec_id, tbl,
+             string_agg(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS bucket
+      FROM embeddings CROSS JOIN planes GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         FROM b q JOIN b n ON q.tbl = n.tbl AND q.bucket = n.bucket
+         WHERE q.vec_id < 10 AND q.vec_id != n.vec_id),
+s AS (SELECT q_id AS query_id, n_id AS neighbor_id,
+             round({_COS_SQL.format(a='qe.embedding', b='ne.embedding')}, 6) AS sim
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+                JOIN embeddings ne ON ne.vec_id = cand.n_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= {k}
+"""
+
+
+@query("sim_lsh_ann_topk", _lsh_oracle_sql())
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (12 tables x 4
     planes, ~0.8 recall on unclustered synthetic vectors — the
-    hardest case for sign-LSH): bucket-join candidates, exact re-rank. Rows-only check;
-    recall vs the exact query is asserted in tests."""
+    hardest case for sign-LSH): one-scan bucketing, candidates deduped
+    on ids, exact re-rank. The oracle replays the deterministic
+    hyperplanes in DuckDB, so this is a full hash-checked query."""
     from jvst_spark.ops.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -696,7 +737,23 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@query("multimodal_decode")  # no SQL oracle: mapInPandas stage
+@query(
+    "multimodal_decode",
+    # the stub decoder is deterministic md5 arithmetic over the payload
+    # bytes (= utf-8 of text), so DuckDB can replay it: byte 0 of the
+    # digest from the first two hex chars, feature = (b/255)*2-1 as
+    # float32 (the features column is array<float>)
+    """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT concat('media-', CAST(doc_id AS VARCHAR)) AS media_ref,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(16 AS INT) AS n_features,
+       round(CAST((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                   / 255.0) * 2.0 - 1.0 AS FLOAT), 6) AS f0
+FROM h
+""",
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payloads -> feature vectors via Arrow-batched mapInPandas
     (deterministic stub decoder; see ops/multimodal.py)."""
