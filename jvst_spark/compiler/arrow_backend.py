@@ -47,6 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from jvst_spark.spec import redialect
 from jvst_spark.spec.nodes import (
     And,
     ArrContains,
@@ -223,8 +224,9 @@ class _Compiler:
         if isinstance(node, StrMatch):
             if not isinstance(dtype, StringType):
                 return lambda a: np.zeros(len(a), dtype=bool)
-            pat = node.pattern
-            # probe RE2 support for the pattern now (compile time)
+            # ECMA pattern -> RE2 dialect (uniform across backends,
+            # see spec/redialect.py); probe RE2 at compile time
+            pat = redialect.translate(node.pattern, "re2")
             pc.match_substring_regex(pa.array([""], type=pa.string()), pat)
             return lambda a: _np_bool(
                 pc.match_substring_regex(a, pat), len(a)
@@ -277,8 +279,6 @@ class _Compiler:
         if isinstance(node, ObjPropSet):
             if not isinstance(dtype, StructType):
                 raise Unsupported("propset on non-struct (map unsupported)")
-            import re as _re
-
             parts = []  # (field_name, field_dtype, sub evaluator)
             props = dict(node.props)
             for f in dtype.fields:
@@ -286,7 +286,7 @@ class _Compiler:
                 if f.name in props:
                     applying.append(props[f.name])
                 for pat, pn in node.patterns:
-                    if _re.search(pat, f.name):
+                    if redialect.search(pat, f.name):
                         applying.append(pn)
                 if not applying and not isinstance(node.additional, Valid):
                     applying.append(node.additional)

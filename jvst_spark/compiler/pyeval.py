@@ -25,6 +25,7 @@ import re
 from typing import Callable, Dict, List, Optional, Tuple
 
 from jvst_spark import errors as E
+from jvst_spark.spec import redialect
 from jvst_spark.spec.nodes import (
     And,
     ArrContains,
@@ -121,7 +122,7 @@ def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Valida
 
             return num_multiple
         if isinstance(n, StrMatch):
-            rx = re.compile(n.pattern)
+            rx = redialect.compile_python(n.pattern)
             return lambda v: rx.search(v) is not None
         if isinstance(n, StrLength):
             lo, hi = n.lo, n.hi
@@ -134,7 +135,7 @@ def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Valida
             return lambda v: lo <= len(v) and (hi is None or len(v) <= hi)
         if isinstance(n, ObjPropSet):
             props = {k: comp(s) for k, s in n.props}
-            pats = [(re.compile(p), comp(s)) for p, s in n.patterns]
+            pats = [(redialect.compile_python(p), comp(s)) for p, s in n.patterns]
             addl = comp(n.additional)
 
             def prop_set(v, props=props, pats=pats, addl=addl):
@@ -294,7 +295,7 @@ def compile_explain(
             return proprange_explain
         if isinstance(n, ObjPropSet):
             props = {k: comp(s) for k, s in n.props}
-            pats = [(re.compile(pt), comp(s)) for pt, s in n.patterns]
+            pats = [(redialect.compile_python(pt), comp(s)) for pt, s in n.patterns]
             addl = comp(n.additional)
 
             def propset_explain(v, p, props=props, pats=pats, addl=addl):

@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 )
 
 from jvst_spark import errors as E
+from jvst_spark.spec import redialect
 from jvst_spark.compiler.pyeval import compile_python
 from jvst_spark.spec.nodes import (
     And,
@@ -277,7 +278,13 @@ class _Lowerer:
 
         # --- string leaves ---
         if isinstance(node, StrMatch):
-            return col.rlike(node.pattern) if isinstance(dtype, StringType) else _F()
+            # ECMA pattern -> Java dialect (uniform across backends,
+            # see spec/redialect.py)
+            return (
+                col.rlike(redialect.translate(node.pattern, "java"))
+                if isinstance(dtype, StringType)
+                else _F()
+            )
         if isinstance(node, StrLength):
             if not isinstance(dtype, StringType):
                 return _F()
@@ -370,7 +377,6 @@ class _Lowerer:
         return reduce(lambda a, b: a + b, counts)
 
     def _lower_propset(self, node: ObjPropSet, dtype, col: Column) -> Column:
-        import re as _re
 
         props = dict(node.props)
         if isinstance(dtype, StructType):
@@ -383,7 +389,7 @@ class _Lowerer:
                 if f.name in props:
                     applying.append(props[f.name])
                 for pat, pn in node.patterns:
-                    if _re.search(pat, f.name):
+                    if redialect.search(pat, f.name):
                         applying.append(pn)
                 if not applying:
                     applying.append(node.additional)
@@ -410,11 +416,12 @@ class _Lowerer:
                     ).otherwise(_T())
                 )
             for pat, sub in node.patterns:
+                jpat = redialect.translate(pat, "java")
                 conds.append(
                     F.forall(
                         F.map_entries(col),
-                        lambda e, pat=pat, sub=sub: F.when(
-                            e["key"].rlike(pat),
+                        lambda e, jpat=jpat, sub=sub: F.when(
+                            e["key"].rlike(jpat),
                             _nz(self.lower(sub, vt, e["value"])),
                         ).otherwise(_T()),
                     )
@@ -427,7 +434,7 @@ class _Lowerer:
                     for kn in known:
                         cond = cond | (k == F.lit(kn))
                     for pat, _ in node.patterns:
-                        cond = cond | k.rlike(pat)
+                        cond = cond | k.rlike(redialect.translate(pat, "java"))
                     return cond
 
                 conds.append(
@@ -623,7 +630,6 @@ def _emit(
         _emit(lw, arm_node, dtype, col, path, simples, groups, ng)
         return
     if isinstance(node, ObjPropSet) and isinstance(dtype, StructType):
-        import re as _re
 
         props = dict(node.props)
         for f in dtype.fields:
@@ -631,7 +637,7 @@ def _emit(
             if f.name in props:
                 applying.append(props[f.name])
             for pat, pn in node.patterns:
-                if _re.search(pat, f.name):
+                if redialect.search(pat, f.name):
                     applying.append(pn)
             if not applying and not isinstance(node.additional, Valid):
                 applying.append(node.additional)
@@ -841,7 +847,6 @@ def _decompose(
         return
     if isinstance(node, ObjPropSet) and isinstance(dtype, StructType):
         # closed object: recurse per field for granular paths
-        import re as _re
 
         props = dict(node.props)
         for f in dtype.fields:
@@ -849,7 +854,7 @@ def _decompose(
             if f.name in props:
                 applying.append(props[f.name])
             for pat, pn in node.patterns:
-                if _re.search(pat, f.name):
+                if redialect.search(pat, f.name):
                     applying.append(pn)
             if not applying and not isinstance(node.additional, Valid):
                 applying.append(node.additional)

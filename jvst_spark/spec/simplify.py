@@ -34,6 +34,8 @@ Rules (reference file:line for each):
 from __future__ import annotations
 
 import re
+
+from jvst_spark.spec import redialect
 from typing import List, Optional, Tuple, Type
 
 from jvst_spark import errors as E
@@ -341,7 +343,7 @@ def _merge_and_propsets(psets: List[ObjPropSet]) -> List[Node]:
                 parts.append(d[k])
                 matched = True
             for pat, pnode in p.patterns:
-                if re.search(pat, k):
+                if redialect.search(pat, k):
                     parts.append(pnode)
                     matched = True
             if not matched:

@@ -86,6 +86,20 @@ class SchemaError(ValueError):
     """Malformed schema (jvst aborts compile; we raise)."""
 
 
+def _checked_pattern(p: str) -> str:
+    """Validate an ECMA-262 pattern at compile time; constructs the
+    backends cannot evaluate uniformly (or a DFA cannot express — the
+    reference's libfsm contract, src/ast.h:21-25) fail the compile with
+    a clear error, like jvst's own regex parser would."""
+    from jvst_spark.spec import redialect
+
+    try:
+        redialect.validate(p)
+    except redialect.UnsupportedPattern as e:
+        raise SchemaError(f"unsupported regex {p!r}: {e}") from e
+    return p
+
+
 def _and(*terms: Node) -> Node:
     ts = tuple(t for t in terms if not isinstance(t, Valid))
     if not ts:
@@ -275,7 +289,7 @@ class _Translator:
         if lo != 0 or hi is not None:
             terms.append(StrLength(lo, hi))
         if "pattern" in raw:
-            terms.append(StrMatch(str(raw["pattern"])))
+            terms.append(StrMatch(_checked_pattern(str(raw["pattern"]))))
         return _and(*terms)
 
     def _object_constraints(self, raw: dict, stack) -> Node:
@@ -292,7 +306,7 @@ class _Translator:
             )
             pp = tuple(
                 sorted(
-                    (k, self.translate(v, stack))
+                    (_checked_pattern(k), self.translate(v, stack))
                     for k, v in (pats or {}).items()
                 )
             )

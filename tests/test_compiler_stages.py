@@ -125,12 +125,12 @@ class TestTranslate:
     def test_enum_dedupes_on_canonical_form(self):
         got = translate({"enum": [1, 1.0, "x"]})
         assert isinstance(got, EnumMatch)
-        assert got.canon_values == ("n:1.0", "s:x")
+        assert got.canon_values == ("n:1.0", "s1:x")
 
     def test_const(self):
         got = translate({"const": {"b": 2, "a": 1}})
         assert got == EnumMatch(
-            ("o{s:a=n:1.0,s:b=n:2.0}",), ('{"b": 2, "a": 1}',)
+            ("o{s1:a=n:1.0,s1:b=n:2.0}",), ('{"b": 2, "a": 1}',)
         )
 
     def test_combinators(self):
