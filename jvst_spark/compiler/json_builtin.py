@@ -1,0 +1,518 @@
+"""JVM-side fast path for dynamic-JSON validation.
+
+For schemas whose checks fit Spark's built-in JSON/variant functions,
+the per-document verdict lowers to pure Column expressions —
+`try_parse_json` + `schema_of_variant` + `try_variant_get` +
+`json_object_keys` — keeping the 100 TB verdict path out of Python
+entirely (round-1 weak item: `val_json_props` ran a row-at-a-time
+pandas UDF for a spec that is all required/integer/range/
+additionalProperties). pyeval remains the general fallback for
+arbitrary schemas (nested objects/arrays, uniqueItems, $ref, ...),
+exactly as the reference keeps its general VM
+(src/validate_vm.c:1136-1592) while constant-folding what it can.
+
+Supported subset (try_lower returns None otherwise — never wrong,
+only absent):
+- root Switch over the parsed document's runtime type
+- number arm:  NumRange / NumInteger / NumMultipleOf (+combinators)
+- string arm:  StrLength / StrMatch (+combinators)
+- null / boolean / array / non-root object arms: Valid / Invalid
+- scalar EnumMatch at value level
+- ROOT object arm additionally: ObjRequired, PropRange,
+  ObjPropNames (string checks over keys), ObjPropSet with
+  identifier-named props, pattern props only as gates, and
+  boolean additionalProperties
+
+Semantic parity contracts with pyeval (tested in
+test_json_builtin.py): strict JSON (NaN/Infinity rejected), numbers
+compared as doubles, duplicate keys deduped, absent key != null value.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from jvst_spark.spec import redialect
+from jvst_spark.spec.nodes import (
+    And,
+    ArrContains,
+    ArrItems,
+    ArrUnique,
+    EnumMatch,
+    Invalid,
+    ItemRange,
+    Node,
+    Not,
+    NumInteger,
+    NumMultipleOf,
+    NumRange,
+    ObjPropNames,
+    ObjPropSet,
+    ObjRequired,
+    Or,
+    PropRange,
+    Ref,
+    StrLength,
+    StrMatch,
+    Switch,
+    Valid,
+    Xor,
+)
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class _Unsupported(Exception):
+    pass
+
+
+def _T() -> Column:
+    return F.lit(True)
+
+
+def _F() -> Column:
+    return F.lit(False)
+
+
+def _is_num_type(typ: Column) -> Column:
+    return (
+        typ.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+        | typ.startswith("DECIMAL")
+    )
+
+
+def _is_int_dbl(d: Column) -> Column:
+    return (
+        (~F.isnan(d))
+        & (d != F.lit(float("inf")))
+        & (d != F.lit(float("-inf")))
+        & (F.round(d, 0) == d)
+    )
+
+
+class _Value:
+    """Accessors for the variant value at one JSON path."""
+
+    def __init__(self, v: Column, path: str):
+        self._v = v
+        self._path = path
+
+    @property
+    def typ(self) -> Column:
+        return F.schema_of_variant(
+            F.try_variant_get(self._v, self._path, "variant")
+        )
+
+    def dbl(self) -> Column:
+        return F.try_variant_get(self._v, self._path, "double")
+
+    def s(self) -> Column:
+        return F.try_variant_get(self._v, self._path, "string")
+
+    def b(self) -> Column:
+        return F.try_variant_get(self._v, self._path, "boolean")
+
+
+def _boolish(node: Node, leaf) -> Column:
+    """Combinator recursion shared by every arm; `leaf` lowers the
+    arm-specific leaves (raises _Unsupported otherwise)."""
+    if isinstance(node, Valid):
+        return _T()
+    if isinstance(node, Invalid):
+        return _F()
+    if isinstance(node, And):
+        out = _T()
+        for t in node.terms:
+            out = out & _boolish(t, leaf)
+        return out
+    if isinstance(node, Or):
+        out = _F()
+        for t in node.terms:
+            out = out | F.coalesce(_boolish(t, leaf), _F())
+        return out
+    if isinstance(node, Xor):
+        total = None
+        for t in node.terms:
+            c = F.coalesce(_boolish(t, leaf), _F()).cast("int")
+            total = c if total is None else total + c
+        return total == 1
+    if isinstance(node, Not):
+        return ~F.coalesce(_boolish(node.term, leaf), _F())
+    return leaf(node)
+
+
+def _string_checks(node: Node, col: Column) -> Column:
+    """String-arm leaves over a plain string Column (also used for
+    propertyNames over the keys array)."""
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, StrLength):
+            ln = F.length(col)
+            c = ln >= F.lit(n.lo)
+            if n.hi is not None:
+                c = c & (ln <= F.lit(n.hi))
+            return c
+        if isinstance(n, StrMatch):
+            return col.rlike(redialect.translate(n.pattern, "java"))
+        if isinstance(n, EnumMatch):
+            return _enum_for_arm(n, "string", col)
+        raise _Unsupported(f"string leaf {type(n).__name__}")
+
+    return _boolish(node, leaf)
+
+
+def _number_checks(node: Node, d: Column) -> Column:
+    def leaf(n: Node) -> Column:
+        if isinstance(n, NumRange):
+            c = _T()
+            if n.lo is not None:
+                c = c & ((d > n.lo) if n.lo_excl else (d >= n.lo))
+            if n.hi is not None:
+                c = c & ((d < n.hi) if n.hi_excl else (d <= n.hi))
+            return c
+        if isinstance(n, NumInteger):
+            return _is_int_dbl(d)
+        if isinstance(n, NumMultipleOf):
+            return _is_int_dbl(d / F.lit(n.divisor))
+        if isinstance(n, EnumMatch):
+            return _enum_for_arm(n, "number", d)
+        raise _Unsupported(f"number leaf {type(n).__name__}")
+
+    return _boolish(node, leaf)
+
+
+def _trivial_checks(node: Node, arm: str, val: Optional[_Value]) -> Column:
+    """Arms where only Valid/Invalid (+ scalar enum for bool/null) fit."""
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, EnumMatch) and val is not None and arm == "boolean":
+            return _enum_for_arm(n, "boolean", val.b())
+        if isinstance(n, EnumMatch) and arm == "null":
+            import json as _json
+
+            return F.lit(any(v is None for v in map(_json.loads, n.raw_json)))
+        raise _Unsupported(f"{arm} leaf {type(n).__name__}")
+
+    return _boolish(node, leaf)
+
+
+def _enum_for_arm(node: EnumMatch, arm: str, col: Column) -> Column:
+    import json as _json
+
+    vals = [_json.loads(r) for r in node.raw_json]
+    if any(isinstance(v, (list, dict)) for v in vals):
+        raise _Unsupported("composite enum")
+    if arm == "number":
+        nums = []
+        for v in vals:
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                try:
+                    nums.append(float(v))
+                except OverflowError:
+                    nums.append(float("inf") if v > 0 else float("-inf"))
+        return col.isin(nums) if nums else _F()
+    if arm == "string":
+        strs = [v for v in vals if isinstance(v, str)]
+        return col.isin(strs) if strs else _F()
+    if arm == "boolean":
+        bools = [v for v in vals if isinstance(v, bool)]
+        return col.isin(bools) if bools else _F()
+    raise _Unsupported(f"enum in {arm} arm")
+
+
+def _lower_value(
+    node: Node, val: _Value, root_ctx: Optional[dict] = None
+) -> Column:
+    """Value-level node -> Column over the variant at `val`'s path.
+    `root_ctx` carries {keys, json_col} when the value is the document
+    root (enables object checks via json_object_keys)."""
+    if isinstance(node, Ref):
+        raise _Unsupported("$ref")
+    if isinstance(node, (Valid, Invalid)):
+        return _T() if isinstance(node, Valid) else _F()
+    if isinstance(node, EnumMatch):
+        typ = val.typ
+        import json as _json
+
+        vals = [_json.loads(r) for r in node.raw_json]
+        if any(isinstance(v, (list, dict)) for v in vals):
+            raise _Unsupported("composite enum")
+        cond = _F()
+        if any(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        ):
+            cond = cond | (
+                _is_num_type(typ) & _enum_for_arm(node, "number", val.dbl())
+            )
+        if any(isinstance(v, str) for v in vals):
+            cond = cond | (
+                (typ == "STRING") & _enum_for_arm(node, "string", val.s())
+            )
+        if any(isinstance(v, bool) for v in vals):
+            cond = cond | (
+                (typ == "BOOLEAN") & _enum_for_arm(node, "boolean", val.b())
+            )
+        if any(v is None for v in vals):
+            cond = cond | (typ == "VOID")
+        return cond
+    if isinstance(node, (And, Or, Xor, Not)):
+        return _boolish(
+            node, lambda n: _lower_value(n, val, root_ctx)
+        )
+    if isinstance(node, Switch):
+        typ = val.typ
+        arms = dict(node.arms)
+        expr = _F()
+        # null
+        expr = F.when(
+            typ == "VOID", _trivial_checks(arms["null"], "null", val)
+        ).otherwise(expr)
+        expr = F.when(
+            typ == "BOOLEAN",
+            _trivial_checks(arms["boolean"], "boolean", val),
+        ).otherwise(expr)
+        expr = F.when(
+            _is_num_type(typ), _number_checks(arms["number"], val.dbl())
+        ).otherwise(expr)
+        expr = F.when(
+            typ == "STRING", _string_checks(arms["string"], val.s())
+        ).otherwise(expr)
+        expr = F.when(
+            typ.startswith("ARRAY"),
+            _trivial_checks(arms["array"], "array", None),
+        ).otherwise(expr)
+        if root_ctx is not None:
+            obj = _lower_root_object(arms["object"], root_ctx)
+        else:
+            obj = _trivial_checks(arms["object"], "object", None)
+        expr = F.when(
+            typ.startswith("OBJECT") | typ.startswith("STRUCT"), obj
+        ).otherwise(expr)
+        return expr
+    raise _Unsupported(f"value-level node {type(node).__name__}")
+
+
+def _lower_root_object(node: Node, ctx: dict) -> Column:
+    """Object checks at the document root, where json_object_keys is
+    available. ctx = {"keys": Column (deduped key array), "v": variant}."""
+    keys: Column = ctx["keys"]
+    v: Column = ctx["v"]
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, ObjRequired):
+            cond = _T()
+            for k in n.keys:
+                cond = cond & F.array_contains(keys, k)
+            return cond
+        if isinstance(n, PropRange):
+            sz = F.size(keys)
+            c = sz >= F.lit(n.lo)
+            if n.hi is not None:
+                c = c & (sz <= F.lit(n.hi))
+            return c
+        if isinstance(n, ObjPropNames):
+            # name_schema applies to each key (a string)
+            arm = (
+                dict(n.name_schema.arms)["string"]
+                if isinstance(n.name_schema, Switch)
+                else n.name_schema
+            )
+            return F.forall(
+                keys,
+                lambda k: F.coalesce(_string_checks(arm, k), _F()),
+            )
+        if isinstance(n, ObjPropSet):
+            conds = _T()
+            for k, sub in n.props:
+                if not _IDENT.match(k):
+                    raise _Unsupported(f"non-identifier key {k!r}")
+                sub_val = _Value(v, f"$.{k}")
+                conds = conds & F.when(
+                    F.array_contains(keys, k),
+                    F.coalesce(_lower_value(sub, sub_val), _F()),
+                ).otherwise(_T())
+            pat_gates = []
+            for pat, sub in n.patterns:
+                if not isinstance(sub, Valid):
+                    raise _Unsupported(
+                        "patternProperties with non-trivial subschema"
+                    )
+                pat_gates.append(redialect.translate(pat, "java"))
+            if isinstance(n.additional, Invalid):
+                known = [k for k, _ in n.props]
+
+                def is_known(k: Column) -> Column:
+                    c = _F()
+                    for kn in known:
+                        c = c | (k == F.lit(kn))
+                    for jp in pat_gates:
+                        c = c | k.rlike(jp)
+                    return c
+
+                conds = conds & F.forall(keys, is_known)
+            elif not isinstance(n.additional, Valid):
+                raise _Unsupported("non-boolean additionalProperties")
+            return conds
+        raise _Unsupported(f"object leaf {type(n).__name__}")
+
+    return _boolish(node, leaf)
+
+
+# ---- structural supportability check (no SparkSession needed) ------
+
+
+def _scalar_enum_ok(node: EnumMatch) -> None:
+    import json as _json
+
+    if any(isinstance(_json.loads(r), (list, dict)) for r in node.raw_json):
+        raise _Unsupported("composite enum")
+
+
+def _chk_combinators(node: Node, leaf) -> None:
+    if isinstance(node, (Valid, Invalid)):
+        return
+    if isinstance(node, (And, Or, Xor)):
+        for t in node.terms:
+            _chk_combinators(t, leaf)
+        return
+    if isinstance(node, Not):
+        _chk_combinators(node.term, leaf)
+        return
+    leaf(node)
+
+
+def _chk_number(node: Node) -> None:
+    def leaf(n):
+        if isinstance(n, (NumRange, NumInteger, NumMultipleOf)):
+            return
+        if isinstance(n, EnumMatch):
+            return _scalar_enum_ok(n)
+        raise _Unsupported(f"number leaf {type(n).__name__}")
+
+    _chk_combinators(node, leaf)
+
+
+def _chk_string(node: Node) -> None:
+    def leaf(n):
+        if isinstance(n, StrLength):
+            return
+        if isinstance(n, StrMatch):
+            redialect.translate(n.pattern, "java")
+            return
+        if isinstance(n, EnumMatch):
+            return _scalar_enum_ok(n)
+        raise _Unsupported(f"string leaf {type(n).__name__}")
+
+    _chk_combinators(node, leaf)
+
+
+def _chk_trivial(node: Node, arm: str) -> None:
+    def leaf(n):
+        if isinstance(n, EnumMatch) and arm in ("boolean", "null"):
+            return _scalar_enum_ok(n)
+        raise _Unsupported(f"{arm} leaf {type(n).__name__}")
+
+    _chk_combinators(node, leaf)
+
+
+def _chk_root_object(node: Node) -> None:
+    def leaf(n):
+        if isinstance(n, (ObjRequired, PropRange)):
+            return
+        if isinstance(n, ObjPropNames):
+            arm = (
+                dict(n.name_schema.arms)["string"]
+                if isinstance(n.name_schema, Switch)
+                else n.name_schema
+            )
+            return _chk_string(arm)
+        if isinstance(n, ObjPropSet):
+            for k, sub in n.props:
+                if not _IDENT.match(k):
+                    raise _Unsupported(f"non-identifier key {k!r}")
+                _chk_value(sub, at_root=False)
+            for pat, sub in n.patterns:
+                if not isinstance(sub, Valid):
+                    raise _Unsupported(
+                        "patternProperties with non-trivial subschema"
+                    )
+                redialect.translate(pat, "java")
+            if not isinstance(n.additional, (Valid, Invalid)):
+                raise _Unsupported("non-boolean additionalProperties")
+            return
+        raise _Unsupported(f"object leaf {type(n).__name__}")
+
+    _chk_combinators(node, leaf)
+
+
+def _chk_value(node: Node, at_root: bool) -> None:
+    if isinstance(node, Ref):
+        raise _Unsupported("$ref")
+    if isinstance(node, (Valid, Invalid)):
+        return
+    if isinstance(node, EnumMatch):
+        return _scalar_enum_ok(node)
+    if isinstance(node, (And, Or, Xor)):
+        for t in node.terms:
+            _chk_value(t, at_root)
+        return
+    if isinstance(node, Not):
+        return _chk_value(node.term, at_root)
+    if isinstance(node, Switch):
+        arms = dict(node.arms)
+        _chk_trivial(arms["null"], "null")
+        _chk_trivial(arms["boolean"], "boolean")
+        _chk_number(arms["number"])
+        _chk_string(arms["string"])
+        _chk_trivial(arms["array"], "array")
+        if at_root:
+            _chk_root_object(arms["object"])
+        else:
+            _chk_trivial(arms["object"], "object")
+        return
+    raise _Unsupported(f"value-level node {type(node).__name__}")
+
+
+def try_lower(spec) -> Optional[Callable[[Column], Column]]:
+    """CompiledSpec -> (json string Column -> boolean verdict Column),
+    or None when the spec needs the general pyeval path. The returned
+    expression is null-safe: malformed/NULL documents -> False. The
+    supportability check is structural, so this is safe to call
+    without an active SparkSession."""
+    if spec.defs:
+        return None
+    root = spec.root
+    try:
+        _chk_value(root, at_root=True)
+    except _Unsupported:
+        return None
+
+    def build(col: Column) -> Column:
+        return _build(root, col, F.try_parse_json(col))
+
+    return build
+
+
+def _build(root: Node, col: Column, v: Column) -> Column:
+    keys = F.array_distinct(F.json_object_keys(col))
+    ctx = {"keys": keys, "v": v}
+    expr = _lower_value(root, _Value(v, "$"), root_ctx=ctx)
+    # STRICT-JSON guard: the JVM JSON functions are lenient about
+    # trailing tokens ('{"k":5}extra') and json_array_length alone
+    # allows single quotes / raw control chars; the conjunction of
+    # "input wrapped in [...] is a 1-element JSON array" with "the
+    # variant parser accepts it" matches json.loads strictness on the
+    # probe battery in test_json_builtin.py — keeping the fast path
+    # verdict-identical to pyeval (and to the reference's strict SJP
+    # parser).
+    strict = (
+        F.json_array_length(F.concat(F.lit("["), col, F.lit("]"))) == 1
+    ) & v.isNotNull()
+    # malformed / non-JSON / SQL NULL -> schema_of_variant is NULL ->
+    # every typ test is NULL -> coalesce to invalid
+    return F.coalesce(strict & expr, _F())

@@ -44,6 +44,10 @@ from jvst_spark.spec.canonify import canonify
 from jvst_spark.spec.nodes import Node
 from jvst_spark.spec.translate import translate_with_defs
 
+def _bad_const(s):
+    raise ValueError(f"non-standard JSON constant: {s}")
+
+
 _VIOLATION_ELEM = StructType(
     [
         StructField("code", IntegerType(), False),
@@ -221,7 +225,10 @@ class ValidationPlan:
                 if txt is None:
                     return [{"code": E.INVALID_JSON, "path": "$"}]
                 try:
-                    doc = json.loads(txt)
+                    # strict JSON: NaN/Infinity literals are rejected,
+                    # as by the reference's SJP parser and the JVM-side
+                    # fast path (try_parse_json)
+                    doc = json.loads(txt, parse_constant=_bad_const)
                 except (ValueError, RecursionError):
                     return [{"code": E.INVALID_JSON, "path": "$"}]
                 # one adversarial document must yield a verdict, never
@@ -246,10 +253,21 @@ class ValidationPlan:
             ]
         )
         vio = violations_udf(F.col(json_col))
+        # JVM fast path: when the spec fits Spark's JSON/variant
+        # builtins, the verdict is a pure Column expression — reading
+        # verdicts() then prunes the pandas-UDF column entirely and no
+        # Python runs (the 100 TB shape). pyeval stays authoritative
+        # for violations and for unsupported specs.
+        from jvst_spark.compiler.json_builtin import try_lower
+
+        fast = try_lower(self.spec)
+        valid_expr = (
+            fast(F.col(json_col)) if fast is not None else (F.size(vio) == 0)
+        )
         base = df.select(
             F.col(id_col).alias("doc_id"),
             F.spark_partition_id().alias("partition_id"),
-            (F.size(vio) == 0).alias("valid"),
+            valid_expr.alias("valid"),
             F.transform(
                 vio,
                 lambda x: F.struct(

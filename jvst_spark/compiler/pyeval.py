@@ -92,9 +92,16 @@ def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Valida
             lo, hi, loe, hie = n.lo, n.hi, n.lo_excl, n.hi_excl
 
             def num_range(v, lo=lo, hi=hi, loe=loe, hie=hie):
-                if lo is not None and (v <= lo if loe else v < lo):
+                # compare in DOUBLE space like the reference VM and the
+                # typed/builtin backends (ints beyond double range
+                # collapse to +/-inf, as strtod would produce)
+                try:
+                    d = float(v)
+                except OverflowError:
+                    d = math.inf if v > 0 else -math.inf
+                if lo is not None and (d <= lo if loe else d < lo):
                     return False
-                if hi is not None and (v >= hi if hie else v > hi):
+                if hi is not None and (d >= hi if hie else d > hi):
                     return False
                 return True
 

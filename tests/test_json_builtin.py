@@ -1,0 +1,126 @@
+"""JVM-builtin fast path for dynamic-JSON validation: must agree with
+pyeval verdict-for-verdict on every lowerable schema, and the verdicts
+plan must contain no Python evaluation node."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jvst_spark.compiler.json_builtin import try_lower
+from jvst_spark.compiler.plan import ValidationPlan, compile_schema
+from jvst_spark.compiler.pyeval import compile_python
+from tests.conftest import CONFORMANCE_CASES
+
+PROPS_SPEC = {
+    "type": "object",
+    "required": ["k"],
+    "additionalProperties": False,
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
+}
+
+HOSTILE_DOCS = [
+    '{"k": 5}', '{"k": 49}', '{"k": 50}', '{"k": -1}', '{"k": 5.0}',
+    '{"k": 5.5}', '{"k": "5"}', '{"k": true}', '{"k": null}',
+    '{"k": [5]}', '{"k": 5, "x": 1}', "{}", "[]", "5", '"k"', "null",
+    "true", "not json", "", '{"k": 1e400}',
+    '{"k": 123456789012345678901234567890}', '{"k": NaN}',
+    '{"k": Infinity}', '{"K": 5}', '{"k": 0}', '{"k": 49.0}',
+    '{"k": 5}extra', '{"k": 5e1}', '{"k": 2e-1}',
+    # strictness probes: JVM JSON functions are lenient about these;
+    # the fast path's strict-JSON guard must reject them like
+    # json.loads does
+    "{'k':5}", '{"k":"a\tb"}', '{"k":05}', '[1,2,]', '{"k":5},',
+    '{"k":5} {"j":1}', "  ", '{"k": 5}   ', '5,6', '{"k":+5}',
+]
+
+
+class TestFastPathSupported:
+    def test_props_spec_lowers(self):
+        assert try_lower(compile_schema(PROPS_SPEC)) is not None
+
+    @pytest.mark.parametrize(
+        "schema",
+        [
+            {"$ref": "#/definitions/a",
+             "definitions": {"a": {"properties": {"b": {"$ref": "#/definitions/a"}}}}},
+            {"type": "array", "items": {"type": "integer"}},
+            {"uniqueItems": True},
+            {"properties": {"a": {"properties": {"b": {"type": "integer"}}}}},
+            {"enum": [[1, 2]]},
+            {"properties": {"weird key!": {"type": "string"}}},
+            {"patternProperties": {"^x": {"type": "integer"}}},
+        ],
+        ids=["cyclic-ref", "array-items", "unique", "nested-obj",
+             "composite-enum", "non-ident-key", "pattern-subschema"],
+    )
+    def test_unsupported_specs_fall_back(self, schema):
+        assert try_lower(compile_schema(schema)) is None
+
+
+class TestFastPathParity:
+    def test_hostile_docs_match_pyeval_verdicts(self, spark):
+        plan = ValidationPlan(compile_schema(PROPS_SPEC))
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(HOSTILE_DOCS)],
+            ["doc_id", "body"],
+        )
+        res = plan.apply_json(df, "body")
+        frame = res.frame.collect()
+        # internal consistency: fast-path valid <=> pyeval found no
+        # violations, on every hostile doc
+        for r in frame:
+            assert r["valid"] == (len(r["_violations"]) == 0), (
+                HOSTILE_DOCS[int(r["doc_id"])],
+                r["valid"],
+                r["_violations"],
+            )
+
+    def test_conformance_corpus_fastpath_agrees(self, spark):
+        """Every lowerable schema in the corpus: builtin verdict ==
+        pyeval verdict == expected, for all of that schema's docs."""
+        by_schema = {}
+        for suite, schema, desc, doc, expected in CONFORMANCE_CASES:
+            key = json.dumps(schema, sort_keys=True)
+            by_schema.setdefault(key, (schema, []))[1].append(
+                (f"{suite}::{desc}", json.dumps(doc), expected)
+            )
+        n_lowered = 0
+        mismatches = []
+        for key, (schema, cases) in by_schema.items():
+            spec = compile_schema(schema)
+            fast = try_lower(spec)
+            if fast is None:
+                continue
+            n_lowered += 1
+            df = spark.createDataFrame(
+                [(cid, txt) for cid, txt, _ in cases], ["doc_id", "body"]
+            )
+            got = {
+                r["doc_id"]: r["v"]
+                for r in df.select(
+                    "doc_id", fast(F.col("body")).alias("v")
+                ).collect()
+            }
+            pyv = compile_python(spec.root, spec.defs)
+            for cid, txt, expected in cases:
+                if got[cid] != expected or pyv(json.loads(txt)) != expected:
+                    mismatches.append((cid, expected, got[cid]))
+        assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
+        assert not mismatches, mismatches[:10]
+
+    def test_verdict_plan_has_no_python(self, spark):
+        plan = ValidationPlan(compile_schema(PROPS_SPEC))
+        df = spark.createDataFrame([("a", "{}")], ["doc_id", "body"])
+        verd = plan.apply_json(df, "body").verdicts()
+        explained = verd._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in explained
+        assert "ArrowEvalPython" not in explained
+
+    def test_violations_still_work_with_fast_path(self, spark):
+        plan = ValidationPlan(compile_schema(PROPS_SPEC))
+        df = spark.createDataFrame(
+            [("a", '{"k": -1}'), ("b", '{"k": 3}')], ["doc_id", "body"]
+        )
+        vio = plan.apply_json(df, "body").violations().collect()
+        assert {r["doc_id"] for r in vio} == {"a"}
