@@ -137,6 +137,12 @@ class _Translator:
         if uri.startswith("#/"):
             cur = self.root
             for part in uri[2:].split("/"):
+                # URI fragments are percent-encoded before JSON-pointer
+                # unescaping (RFC 6901 §6; the reference's uriparser
+                # handles this in parserutils.c)
+                from urllib.parse import unquote
+
+                part = unquote(part)
                 part = part.replace("~1", "/").replace("~0", "~")
                 if isinstance(cur, list):
                     try:
