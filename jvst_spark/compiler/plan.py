@@ -64,10 +64,14 @@ class CompiledSpec:
     defs: Dict[str, Node] = field(default_factory=dict)
 
 
-def compile_schema(schema) -> CompiledSpec:
+def compile_schema(schema, registry: Optional[Dict] = None) -> CompiledSpec:
     """Run the full driver-side pipeline (jvst_compile_schema analogue,
-    src/compile.c:7-21): translate -> simplify -> canonify."""
-    root, defs = translate_with_defs(schema)
+    src/compile.c:7-21): translate -> simplify -> canonify.
+
+    `registry` maps absolute URIs to raw schema documents for
+    cross-document $ref (loaded from local sources by the caller — the
+    engine never fetches)."""
+    root, defs = translate_with_defs(schema, registry)
     return CompiledSpec(
         canonify(root), {u: canonify(n) for u, n in defs.items()}
     )
@@ -313,6 +317,17 @@ class ValidationResult:
         """Per-partition pass/fail rollup (the per-partition verdict the
         north rule requires)."""
         return self._base.groupBy("partition_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum(F.size("_violations").cast("long")).alias("n_violations"),
+        )
+
+    def metrics_by(self, key: Column, key_name: str = "bucket") -> DataFrame:
+        """Pass/fail rollup keyed by a caller-supplied DETERMINISTIC
+        bucket expression (spark_partition_id is execution-dependent;
+        a content-derived bucket gives reproducible per-shard verdict
+        sinks the oracle can replay)."""
+        return self._base.groupBy(key.alias(key_name)).agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("valid").cast("long")).alias("n_valid"),
             F.sum(F.size("_violations").cast("long")).alias("n_violations"),

@@ -142,6 +142,33 @@ def val_flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "val_flagship_metrics_by_bucket",
+    f"""
+WITH spans_tbl AS ({SPANS_SQL}),
+vio AS ({_VIOLATIONS_SQL}),
+vb AS (SELECT TRY_CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket,
+              count(*) AS nv
+       FROM vio GROUP BY 1),
+db AS (SELECT TRY_CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket,
+              count(*) AS n_docs,
+              count(*) FILTER (WHERE {FLAGSHIP_VALID_SQL}) AS n_valid
+       FROM spans_tbl GROUP BY 1)
+SELECT db.bucket, db.n_docs, db.n_valid,
+       coalesce(vb.nv, 0) AS n_violations
+FROM db LEFT JOIN vb USING (bucket)
+""",
+)
+def val_flagship_metrics_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard verdict-sink rollup keyed on a deterministic bucket
+    (doc-id suffix % 8) — the reproducible analogue of the
+    per-partition metrics sink, pinned by the oracle."""
+    df = spans_from_documents(spark, sf_dir)
+    res = _flagship_plan().apply_typed(df)
+    bucket = F.substring("doc_id", 5, 12).cast("bigint") % 8
+    return res.metrics_by(bucket)
+
+
+@query(
     "val_spans_unique",
     # DuckDB can't list_distinct struct lists; serialize each span with
     # the same equivalence classes as canon_expr (null field = absent,

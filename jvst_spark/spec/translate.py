@@ -109,56 +109,123 @@ def _and(*terms: Node) -> Node:
     return And(ts)
 
 
+class _DocCtx:
+    """A $ref resolution scope: a raw (sub)schema rooted at a base URI.
+    Every schema document and every $id-bearing subschema opens one —
+    the analogue of the reference's id table entries
+    (src/idtbl.h:11-89) built by parserutils.c."""
+
+    __slots__ = ("raw", "base")
+
+    def __init__(self, raw, base: str = ""):
+        self.raw = raw
+        self.base = base
+
+
+def _pointer(root, frag: str, uri: str):
+    """RFC 6901 JSON-pointer into `root` (frag without leading '#')."""
+    from urllib.parse import unquote
+
+    cur = root
+    for part in frag.lstrip("/").split("/"):
+        # percent-decode before ~0/~1 unescaping (RFC 6901 §6; the
+        # reference's uriparser handles this in parserutils.c)
+        part = unquote(part)
+        part = part.replace("~1", "/").replace("~0", "~")
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(part)]
+            except (ValueError, IndexError):
+                raise SchemaError(f"unresolvable $ref: {uri}")
+        elif isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            raise SchemaError(f"unresolvable $ref: {uri}")
+    return cur
+
+
 class _Translator:
-    """One schema document's translation context ($ref resolution)."""
+    """Translation context: the root document plus an optional registry
+    of other documents keyed by absolute URI (the cross-document $ref
+    surface — refRemote-style, loaded from local sources; this engine
+    never fetches)."""
 
-    def __init__(self, root_schema):
-        self.root = root_schema
+    def __init__(self, root_schema, registry: Dict[str, object] | None = None):
+        from urllib.parse import urljoin
+
         self.defs: Dict[str, Node] = {}
-        self._ids: Dict[str, object] = {}
-        self._index_ids(root_schema)
-
-    def _index_ids(self, raw):
-        """Index $id-bearing subschemas for non-pointer $ref targets."""
-        if isinstance(raw, dict):
-            sid = raw.get("$id") or raw.get("id")
+        root_base = ""
+        if isinstance(root_schema, dict):
+            sid = root_schema.get("$id") or root_schema.get("id")
             if isinstance(sid, str):
-                self._ids[sid] = raw
-            for v in raw.values():
-                self._index_ids(v)
-        elif isinstance(raw, list):
-            for v in raw:
-                self._index_ids(v)
+                root_base = sid
+        self.root_ctx = _DocCtx(root_schema, root_base)
+        # absolute URI -> _DocCtx for every document and every
+        # $id-bearing subschema (nested $ids resolve against the
+        # nearest ancestor scope)
+        self.anchors: Dict[str, _DocCtx] = {}
+        self._index_doc(self.root_ctx)
+        for uri, raw in (registry or {}).items():
+            ctx = _DocCtx(raw, uri)
+            self.anchors.setdefault(uri, ctx)
+            self._index_doc(ctx)
 
-    def resolve_raw(self, uri: str):
-        """Resolve a same-document $ref URI to its raw subschema."""
+    def _index_doc(self, ctx: _DocCtx):
+        from urllib.parse import urljoin
+
+        if ctx.base:
+            self.anchors.setdefault(ctx.base, ctx)
+
+        def walk(raw, base):
+            if isinstance(raw, dict):
+                sid = raw.get("$id") or raw.get("id")
+                if isinstance(sid, str):
+                    absolute = urljoin(base, sid) if base else sid
+                    self.anchors.setdefault(absolute, _DocCtx(raw, absolute))
+                    base = absolute
+                for v in raw.values():
+                    walk(v, base)
+            elif isinstance(raw, list):
+                for v in raw:
+                    walk(v, base)
+
+        walk(ctx.raw, ctx.base)
+
+    def resolve_raw(self, uri: str, ctx: _DocCtx | None = None):
+        """Resolve a $ref URI against `ctx` (default: the root document)
+        to (raw subschema, target ctx, canonical key)."""
+        from urllib.parse import urldefrag, urljoin
+
+        if ctx is None:
+            ctx = self.root_ctx
+        same_doc = ctx is self.root_ctx and uri.startswith("#")
         if uri == "#":
-            return self.root
+            return ctx.raw, ctx, (uri if same_doc else ctx.base + "#")
         if uri.startswith("#/"):
-            cur = self.root
-            for part in uri[2:].split("/"):
-                # URI fragments are percent-encoded before JSON-pointer
-                # unescaping (RFC 6901 §6; the reference's uriparser
-                # handles this in parserutils.c)
-                from urllib.parse import unquote
+            raw = _pointer(ctx.raw, uri[1:], uri)
+            return raw, ctx, (uri if same_doc else ctx.base + uri)
+        full = urljoin(ctx.base, uri) if ctx.base else uri
+        if full in self.anchors:
+            t = self.anchors[full]
+            return t.raw, t, full
+        doc_uri, frag = urldefrag(full)
+        if doc_uri in self.anchors:
+            t = self.anchors[doc_uri]
+            if not frag:
+                return t.raw, t, doc_uri
+            if frag.startswith("/"):
+                return _pointer(t.raw, frag, uri), t, full
+        raise SchemaError(
+            f"unresolvable $ref: {uri} (resolved {full!r}; cross-document "
+            "targets must be supplied via the schema registry — this "
+            "engine never fetches remote URIs)"
+        )
 
-                part = unquote(part)
-                part = part.replace("~1", "/").replace("~0", "~")
-                if isinstance(cur, list):
-                    try:
-                        cur = cur[int(part)]
-                    except (ValueError, IndexError):
-                        raise SchemaError(f"unresolvable $ref: {uri}")
-                elif isinstance(cur, dict) and part in cur:
-                    cur = cur[part]
-                else:
-                    raise SchemaError(f"unresolvable $ref: {uri}")
-            return cur
-        if uri in self._ids:
-            return self._ids[uri]
-        raise SchemaError(f"unresolvable $ref: {uri} (remote refs unsupported)")
-
-    def translate(self, raw, stack: Tuple[str, ...] = ()) -> Node:
+    def translate(
+        self, raw, stack: Tuple[str, ...] = (), ctx: _DocCtx | None = None
+    ) -> Node:
+        if ctx is None:
+            ctx = self.root_ctx
         if raw is True or raw == {}:
             return Valid()
         if raw is False:
@@ -166,32 +233,39 @@ class _Translator:
         if not isinstance(raw, dict):
             raise SchemaError(f"schema must be bool or object, got {type(raw)}")
 
+        # a subschema's $id opens a new resolution scope for its
+        # children (draft-6 base-URI change)
+        sid = raw.get("$id") or raw.get("id")
+        if isinstance(sid, str) and raw is not ctx.raw:
+            from urllib.parse import urljoin
+
+            new_base = urljoin(ctx.base, sid) if ctx.base else sid
+            ctx = self.anchors.get(new_base, _DocCtx(raw, new_base))
+
         # $ref: draft-6 semantics — $ref replaces the schema entirely
         if "$ref" in raw:
             uri = raw["$ref"]
-            if uri in stack:
+            target, tctx, key = self.resolve_raw(uri, ctx)
+            if key in stack:
                 # cycle: keep as a named call; target translated once
-                if uri not in self.defs:
+                if key not in self.defs:
                     # placeholder to break re-entry, then translate body
-                    self.defs[uri] = Valid()
-                    self.defs[uri] = self.translate(
-                        self.resolve_raw(uri), stack
-                    )
-                return Ref(uri)
-            target = self.resolve_raw(uri)
-            node = self.translate(target, stack + (uri,))
+                    self.defs[key] = Valid()
+                    self.defs[key] = self.translate(target, stack, tctx)
+                return Ref(key)
+            node = self.translate(target, stack + (key,), tctx)
             # if translation of the target discovered it is cyclic (a Ref
-            # to `uri` appeared inside), expose it via defs as well
-            if _contains_ref(node, uri):
-                if uri not in self.defs:
-                    self.defs[uri] = node
-                return Ref(uri)
+            # to `key` appeared inside), expose it via defs as well
+            if _contains_ref(node, key):
+                if key not in self.defs:
+                    self.defs[key] = node
+                return Ref(key)
             return node
 
         terms = []
 
         # ---- type switch (the root "filter") ----
-        sw = self._type_switch(raw, stack)
+        sw = self._type_switch(raw, stack, ctx)
         if sw is not None:
             terms.append(sw)
 
@@ -206,16 +280,16 @@ class _Translator:
 
         # ---- combinators ----
         if "allOf" in raw:
-            subs = [self.translate(s, stack) for s in _sublist(raw, "allOf")]
+            subs = [self.translate(s, stack, ctx) for s in _sublist(raw, "allOf")]
             terms.append(And(tuple(subs)))
         if "anyOf" in raw:
-            subs = [self.translate(s, stack) for s in _sublist(raw, "anyOf")]
+            subs = [self.translate(s, stack, ctx) for s in _sublist(raw, "anyOf")]
             terms.append(Or(tuple(subs)))
         if "oneOf" in raw:
-            subs = [self.translate(s, stack) for s in _sublist(raw, "oneOf")]
+            subs = [self.translate(s, stack, ctx) for s in _sublist(raw, "oneOf")]
             terms.append(Xor(tuple(subs)))
         if "not" in raw:
-            terms.append(Not(self.translate(raw["not"], stack)))
+            terms.append(Not(self.translate(raw["not"], stack, ctx)))
 
         if not terms:
             return Valid()
@@ -223,7 +297,7 @@ class _Translator:
 
     # -- per-type keyword families, each constraining one switch arm --
 
-    def _type_switch(self, raw: dict, stack) -> Node | None:
+    def _type_switch(self, raw: dict, stack, ctx) -> Node | None:
         """Build the SWITCH from `type` + per-type constraint keywords.
 
         Mirrors jvst: start from an all-valid switch, narrow arms for
@@ -232,8 +306,8 @@ class _Translator:
         """
         num = self._numeric_constraints(raw)
         st = self._string_constraints(raw)
-        ob = self._object_constraints(raw, stack)
-        ar = self._array_constraints(raw, stack)
+        ob = self._object_constraints(raw, stack, ctx)
+        ar = self._array_constraints(raw, stack, ctx)
 
         allowed = None
         if "type" in raw:
@@ -298,7 +372,7 @@ class _Translator:
             terms.append(StrMatch(_checked_pattern(str(raw["pattern"]))))
         return _and(*terms)
 
-    def _object_constraints(self, raw: dict, stack) -> Node:
+    def _object_constraints(self, raw: dict, stack, ctx) -> Node:
         terms = []
         props = raw.get("properties")
         pats = raw.get("patternProperties")
@@ -306,20 +380,20 @@ class _Translator:
         if props is not None or pats is not None or addl is not None:
             p = tuple(
                 sorted(
-                    (k, self.translate(v, stack))
+                    (k, self.translate(v, stack, ctx))
                     for k, v in (props or {}).items()
                 )
             )
             pp = tuple(
                 sorted(
-                    (_checked_pattern(k), self.translate(v, stack))
+                    (_checked_pattern(k), self.translate(v, stack, ctx))
                     for k, v in (pats or {}).items()
                 )
             )
-            a = Valid() if addl is None else self.translate(addl, stack)
+            a = Valid() if addl is None else self.translate(addl, stack, ctx)
             terms.append(ObjPropSet(p, pp, a))
         if "propertyNames" in raw:
-            terms.append(ObjPropNames(self.translate(raw["propertyNames"], stack)))
+            terms.append(ObjPropNames(self.translate(raw["propertyNames"], stack, ctx)))
         if "required" in raw:
             keys = raw["required"]
             if not isinstance(keys, list):
@@ -331,10 +405,10 @@ class _Translator:
         if lo != 0 or hi is not None:
             terms.append(PropRange(lo, hi))
         if "dependencies" in raw:
-            terms.extend(self._dependencies(raw["dependencies"], stack))
+            terms.extend(self._dependencies(raw["dependencies"], stack, ctx))
         return _and(*terms)
 
-    def _dependencies(self, deps: dict, stack):
+    def _dependencies(self, deps: dict, stack, ctx):
         """Desugar exactly as jvst does (src/validate_constraints.c:1556-1646):
         property form  K: [D...] -> OR(REQUIRED{K, D...}, NOT REQUIRED{K})
         schema form    K: S      -> OR(NOT REQUIRED{K}, <S>)
@@ -349,24 +423,24 @@ class _Translator:
                 need = tuple(sorted(set([key] + list(dep))))
                 out.append(Or((ObjRequired(need), absent)))
             else:
-                out.append(Or((absent, self.translate(dep, stack))))
+                out.append(Or((absent, self.translate(dep, stack, ctx))))
         return out
 
-    def _array_constraints(self, raw: dict, stack) -> Node:
+    def _array_constraints(self, raw: dict, stack, ctx) -> Node:
         terms = []
         items = raw.get("items")
         addl_items = raw.get("additionalItems")
         if items is not None or addl_items is not None:
             if isinstance(items, list):
-                pos = tuple(self.translate(s, stack) for s in items)
-                a = Valid() if addl_items is None else self.translate(addl_items, stack)
+                pos = tuple(self.translate(s, stack, ctx) for s in items)
+                a = Valid() if addl_items is None else self.translate(addl_items, stack, ctx)
                 terms.append(ArrItems(pos, a))
             elif items is not None:
                 # single-schema form: additionalItems is ignored per spec
-                terms.append(ArrItems((), self.translate(items, stack)))
+                terms.append(ArrItems((), self.translate(items, stack, ctx)))
             # additionalItems alone (no items) constrains nothing
         if "contains" in raw:
-            terms.append(ArrContains(self.translate(raw["contains"], stack)))
+            terms.append(ArrContains(self.translate(raw["contains"], stack, ctx)))
         lo = int(raw["minItems"]) if "minItems" in raw else 0
         hi = int(raw["maxItems"]) if "maxItems" in raw else None
         if lo != 0 or hi is not None:
@@ -403,14 +477,19 @@ def _contains_ref(node: Node, uri: str) -> bool:
     return any(_contains_ref(c, uri) for c in node.children())
 
 
-def translate_with_defs(schema) -> Tuple[Node, Dict[str, Node]]:
-    """Translate a schema document; returns (root node, cyclic-def map)."""
-    tr = _Translator(schema)
+def translate_with_defs(
+    schema, registry: Dict[str, object] | None = None
+) -> Tuple[Node, Dict[str, Node]]:
+    """Translate a schema document; returns (root node, cyclic-def map).
+    `registry` maps absolute URIs to raw schema documents for
+    cross-document $ref resolution (refRemote-style, supplied locally —
+    the engine never fetches)."""
+    tr = _Translator(schema, registry)
     root = tr.translate(schema)
     return root, dict(tr.defs)
 
 
-def translate(schema) -> Node:
+def translate(schema, registry: Dict[str, object] | None = None) -> Node:
     """Translate a schema document to a ConstraintNode DAG (acyclic refs
     inlined; cyclic defs reachable via translate_with_defs)."""
-    return translate_with_defs(schema)[0]
+    return translate_with_defs(schema, registry)[0]

@@ -4,9 +4,12 @@ The cross-row generalization of jvst's uniqueItems (hash-set per array,
 src/validate_uniq.c:25-51: xxHash64 over canonical bytes). At 10^12
 rows the hash set becomes a distributed two-phase plan:
 
-1. CHEAP PREFILTER (no exactness): approx_count_distinct (HLL++) vs
-   count per partition-range; if they match within HLL error, a range
-   provably has no duplicates and the exact pass can skip it.
+1. CHEAP PREFILTER (heuristic, may false-negative): approx_count_distinct
+   (HLL++) vs count per partition-range — a large gap flags ranges that
+   certainly contain duplicates so the exact pass can PRIORITIZE them.
+   The sketch cannot prove absence: a range with a small duplicate
+   fraction (below ~3x the sketch's rsd) looks identical to a unique
+   one, so a uniqueness GUARANTEE always requires step 2.
 2. EXACT PASS: groupBy(key).count() > 1. The shuffle hashes on the key,
    so uniform keys scale linearly with executors; skewed key RANGES
    (FIXTURES.md: ~20% of rows share few prefixes) are handled by AQE
@@ -29,9 +32,11 @@ from pyspark.sql import functions as F
 
 def distinct_stats(df: DataFrame, key: str) -> DataFrame:
     """HLL++ sketch vs exact count — one aggregation, no shuffle of raw
-    rows (partial aggregates only). `maybe_dupes` False proves
-    uniqueness (count <= approx * (1+rsd) can't hold with dupes beyond
-    sketch error); True routes to the exact pass."""
+    rows (partial aggregates only). `maybe_dupes` True = the sketch gap
+    is beyond 3x its rsd, so duplicates certainly exist; False does NOT
+    prove uniqueness (a sub-3%% duplicate fraction hides inside sketch
+    error) — it is a prioritization heuristic, never a skip-gate for
+    the exact pass."""
     rsd = 0.01
     return df.agg(
         F.count(key).alias("n_rows"),

@@ -1,0 +1,159 @@
+"""Cross-document $ref/$id resolution via a locally-supplied schema
+registry — the refRemote-style surface of the official suite, with
+documents loaded from local sources instead of HTTP (the engine never
+fetches; the reference builds the same id tables via uriparser,
+src/parserutils.c + src/idtbl.h:11-89)."""
+
+import pytest
+
+from jvst_spark.compiler.plan import compile_schema
+from jvst_spark.compiler.pyeval import compile_python
+from jvst_spark.spec.translate import SchemaError, translate_with_defs
+
+REGISTRY = {
+    "http://localhost:1234/integer.json": {"type": "integer"},
+    "http://localhost:1234/subSchemas.json": {
+        "integer": {"type": "integer"},
+        "refToInteger": {"$ref": "#/integer"},
+    },
+    "http://localhost:1234/baseUriChange/folderInteger.json": {
+        "type": "integer"
+    },
+    "http://localhost:1234/name.json": {
+        "definitions": {"orNull": {"anyOf": [{"type": "null"}, {"$ref": "#"}]}},
+        "type": "string",
+    },
+    "http://localhost:1234/sibling.json": {
+        "definitions": {
+            "evenNumber": {"type": "number", "multipleOf": 2}
+        },
+        "$ref": "#/definitions/evenNumber",
+    },
+}
+
+
+def _validator(schema, registry=REGISTRY):
+    spec = compile_schema(schema, registry)
+    return compile_python(spec.root, spec.defs)
+
+
+class TestRemoteRef:
+    def test_remote_ref(self):
+        v = _validator({"$ref": "http://localhost:1234/integer.json"})
+        assert v(1)
+        assert not v("a")
+
+    def test_fragment_within_remote_ref(self):
+        v = _validator(
+            {"$ref": "http://localhost:1234/subSchemas.json#/integer"}
+        )
+        assert v(1)
+        assert not v("a")
+
+    def test_ref_within_remote_ref_resolves_in_remote_doc(self):
+        v = _validator(
+            {"$ref": "http://localhost:1234/subSchemas.json#/refToInteger"}
+        )
+        assert v(1)
+        assert not v("a")
+
+    def test_relative_ref_against_root_id(self):
+        v = _validator(
+            {
+                "$id": "http://localhost:1234/object",
+                "type": "object",
+                "properties": {"name": {"$ref": "name.json#/definitions/orNull"}},
+            }
+        )
+        assert v({"name": "foo"})
+        assert v({"name": None})
+        assert not v({"name": {"name": None}})
+
+    def test_base_uri_change_with_nested_id(self):
+        # the official "base URI change" case: a subschema $id rebases
+        # relative refs beneath it
+        v = _validator(
+            {
+                "$id": "http://localhost:1234/",
+                "items": {
+                    "$id": "baseUriChange/",
+                    "items": {"$ref": "folderInteger.json"},
+                },
+            }
+        )
+        assert v([[1]])
+        assert not v([["a"]])
+
+    def test_remote_doc_whose_root_is_a_ref(self):
+        v = _validator({"$ref": "http://localhost:1234/sibling.json"})
+        assert v(4)
+        assert not v(3)
+        assert not v("a")
+
+    def test_unresolvable_remote_raises_at_compile(self):
+        with pytest.raises(SchemaError, match="registry"):
+            _validator({"$ref": "http://elsewhere/nope.json"}, registry={})
+
+    def test_recursive_tree_via_id_anchors(self):
+        # official draft-6 ref.json "recursive references between
+        # schemas": tree/node cross-reference through $id anchors in
+        # ONE document
+        schema = {
+            "$id": "http://localhost:1234/tree",
+            "type": "object",
+            "properties": {
+                "meta": {"type": "string"},
+                "nodes": {"type": "array", "items": {"$ref": "node"}},
+            },
+            "required": ["meta", "nodes"],
+            "definitions": {
+                "node": {
+                    "$id": "http://localhost:1234/node",
+                    "type": "object",
+                    "properties": {
+                        "value": {"type": "number"},
+                        "subtree": {"$ref": "tree"},
+                    },
+                    "required": ["value"],
+                }
+            },
+        }
+        v = _validator(schema, registry={})
+        ok = {
+            "meta": "root",
+            "nodes": [
+                {"value": 1, "subtree": {"meta": "c", "nodes": [{"value": 1.1}]}},
+                {"value": 2},
+            ],
+        }
+        bad = {
+            "meta": "root",
+            "nodes": [
+                {"value": 1, "subtree": {"meta": "c", "nodes": [{"value": "x"}]}},
+            ],
+        }
+        assert v(ok)
+        assert not v(bad)
+
+    def test_defs_keys_are_canonical_for_cross_doc_cycles(self):
+        root, defs = translate_with_defs(
+            {"$ref": "http://localhost:1234/selfref.json"},
+            registry={
+                "http://localhost:1234/selfref.json": {
+                    "anyOf": [
+                        {"type": "integer"},
+                        {
+                            "type": "array",
+                            "items": {
+                                "$ref": "http://localhost:1234/selfref.json"
+                            },
+                        },
+                    ]
+                }
+            },
+        )
+        assert any(k.startswith("http://") for k in defs)
+        v = compile_python(root, defs)
+        assert v(1)
+        assert v([[1, 2], 3])
+        assert not v([["a"]])
