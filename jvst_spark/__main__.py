@@ -43,20 +43,32 @@ def main(argv=None) -> int:
 
     if cmd == "compile":
         verbose = "-v" in argv and (argv.remove("-v") or True)
+        dump = "--dump" in argv and (argv.remove("--dump") or True)
         out = None
         if "-o" in argv:
             i = argv.index("-o")
             out = argv[i + 1]
             del argv[i : i + 2]
         if len(argv) != 1:
-            print("usage: compile <schema.json> [-o plan.json] [-v]",
-                  file=sys.stderr)
+            print("usage: compile <schema.json> [-o plan.json] [-v] "
+                  "[--dump]", file=sys.stderr)
             return 2
+        if dump:
+            # per-stage tree dump (jvst's -d debug paths,
+            # src/main.c:292-350): translated / simplified / canonified
+            from jvst_spark.spec.dump import dump_stages
+
+            with open(argv[0]) as f:
+                print(dump_stages(json.load(f)))
+            return 0
         spec = _load_spec(argv[0])
         if verbose:
-            print(repr(spec.root))
+            from jvst_spark.spec.dump import pretty
+
+            print(pretty(spec.root))
             for uri, node in sorted(spec.defs.items()):
-                print(f"{uri}: {node!r}")
+                print(f"-- def {uri}:")
+                print(pretty(node))
         if out:
             from jvst_spark.compiler import artifact
 

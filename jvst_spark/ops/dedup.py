@@ -267,11 +267,23 @@ def simhash_signatures_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
             bits = (
                 2 * ((hashes[:, None] >> shifts) & 1).astype(np.int64) - 1
             )
-            doc_idx = np.repeat(
-                np.arange(len(ids)), [len(tl) for tl in tok_lists]
-            )
-            sums = np.zeros((len(ids), 64), dtype=np.int64)
-            np.add.at(sums, doc_idx, bits[inv])
+            lens = np.array([len(tl) for tl in tok_lists])
+            n_docs, n_uniq = len(ids), len(uniq)
+            if n_docs * n_uniq <= 8_000_000:
+                # small vocabulary: per-doc token-count matrix (one
+                # bincount) x bit matrix (one GEMM) — avoids np.add.at,
+                # whose unbuffered scatter is ~10x slower than a GEMM
+                doc_idx = np.repeat(np.arange(n_docs), lens)
+                counts = np.bincount(
+                    doc_idx * n_uniq + inv, minlength=n_docs * n_uniq
+                ).reshape(n_docs, n_uniq)
+                sums = counts @ bits
+            else:
+                # large vocabulary: segment-sum the expanded bit rows
+                # (token order groups by doc already)
+                starts = np.zeros(n_docs, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sums = np.add.reduceat(bits[inv], starts, axis=0)
             pos = sums > 0
             sigs = ["".join("1" if b else "0" for b in row) for row in pos]
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})

@@ -222,19 +222,32 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> List[List[float]]:
     return planes
 
 
-def lsh_bucket_expr(
-    vec: Column, dim: int, n_planes: int = 12, table: int = 0
-) -> Column:
-    """Random-hyperplane LSH bucket id: sign-bit string over n_planes
-    fixed hyperplanes. Pure Column expression (literal plane arrays)."""
-    planes = _hyperplanes(dim, n_planes, table)
+def _bucket_sql(vec_sql: str, dim: int, n_planes: int, table: int) -> str:
+    """SQL text of one table's bucket id (sign-bit string over n_planes
+    fixed hyperplanes). Generated as ONE string and parsed once: the
+    equivalent Column-API construction makes thousands of py4j calls
+    for the plane literals (~4s of driver time per call, measured)."""
     bits = []
-    for pl in planes:
-        lit = F.array(*[F.lit(v) for v in pl])
-        bits.append(
-            F.when(dot_expr(vec, lit) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    for pl in _hyperplanes(dim, n_planes, table):
+        arr = "array(" + ",".join(f"{v!r}D" for v in pl) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            "(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+            "(acc, v) -> acc + v)"
         )
-    return F.concat(*bits)
+        bits.append(f"(case when {dot} >= 0 then '1' else '0' end)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_bucket_expr(
+    vec, dim: int, n_planes: int = 12, table: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id for a column NAME (sign-bit
+    string; same accumulation order as the Column-API fold and the
+    DuckDB oracle)."""
+    if not isinstance(vec, str):
+        raise TypeError("lsh_bucket_expr takes a column name")
+    return F.expr(_bucket_sql(f"`{vec}`", dim, n_planes, table))
 
 
 def lsh_ann_topk(
@@ -261,20 +274,19 @@ def lsh_ann_topk(
     it broadcasts."""
     from pyspark.sql import Window
 
+    # the whole (tbl, bucket) struct array as ONE parsed SQL expression:
+    # the Column-API equivalent is thousands of py4j calls for the
+    # plane literals (measured ~4s/side of pure driver time)
+    tb_sql = "array(" + ", ".join(
+        f"struct({t} as tbl, "
+        f"{_bucket_sql(f'`{vec_col}`', dim, n_planes, t)} as bucket)"
+        for t in range(n_tables)
+    ) + ")"
+
     def with_buckets(df, prefix):
-        tb = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket_expr(
-                        F.col(vec_col), dim, n_planes, t
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
-            F.col(id_col).alias(f"{prefix}_id"), F.explode(tb).alias("tb")
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.explode(F.expr(tb_sql)).alias("tb"),
         ).select(
             f"{prefix}_id",
             F.col("tb.tbl").alias("tbl"),

@@ -58,4 +58,22 @@ def test_compile_verbose_prints_dag(tmp_path):
     schema.write_text(json.dumps({"type": "number"}))
     r = run_cli("compile", str(schema), "-v")
     assert r.returncode == 0
-    assert "Switch" in r.stdout
+    assert "SWITCH" in r.stdout
+
+
+def test_compile_dump_prints_all_stages(tmp_path):
+    """Stage-dump parity with the reference's -d debug paths
+    (src/main.c:292-350): one labeled tree per compile stage."""
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps(
+        {"type": "object", "required": ["a"],
+         "properties": {"a": {"type": "integer", "minimum": 0}},
+         "additionalProperties": False}
+    ))
+    r = run_cli("compile", str(schema), "--dump")
+    assert r.returncode == 0
+    for stage in ("translated", "simplified", "canonified"):
+        assert f"stage: {stage}" in r.stdout
+    assert "OBJ_REQUIRED ['a']" in r.stdout
+    assert "NUM_INTEGER" in r.stdout
+    assert "INVALID" in r.stdout  # additionalProperties: false
