@@ -91,6 +91,32 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_blocked_gemm_multi_block_matches_exact(self, spark, emb):
+        """The distributed block-pair GEMM with B>1 (the 100 TB shape:
+        diagonal triangular masking + off-diagonal min/max
+        canonicalization) must emit exactly the pairs the O(n^2) Column
+        plan does. The oracle query runs at B=1, so this pins the
+        multi-block branch specifically."""
+        from jvst_spark.ops.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_blocked,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        for n_blocks in (1, 4, 7):
+            got = {
+                (r["id_a"], r["id_b"]): r["sim"]
+                for r in near_dup_pairs_blocked(
+                    emb, threshold=0.4, n_blocks=n_blocks
+                ).collect()
+            }
+            assert set(got) == set(exact), n_blocks
+            for k in got:
+                assert abs(got[k] - exact[k]) < 1e-6, (n_blocks, k)
+
     def test_brute_force_topk_sanity(self, spark, emb):
         from jvst_spark.ops.similarity import brute_force_topk
 

@@ -141,6 +141,47 @@ class TestRejection:
             )
 
 
+class TestFuzzPythonVsRe2:
+    """Property fuzz: random patterns from the SUPPORTED construct
+    grammar, random probe strings (including delimiter/unicode
+    hostiles) — the Python and RE2 renderings must agree on every
+    (pattern, probe)."""
+
+    def test_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        atom = st.one_of(
+            st.sampled_from(
+                ["a", "b", "7", ".", r"\d", r"\w", r"\s", r"\D", r"\W",
+                 r"\S", "[ab0-9]", "[^xy]", r"[\da-f]", r"\.", r"\[",
+                 "é", r"\x41", r"é"]
+            ),
+        )
+        quant = st.sampled_from(["", "*", "+", "?", "{2}", "{1,3}", "*?"])
+        piece = st.tuples(atom, quant).map(lambda t: t[0] + t[1])
+        seq = st.lists(piece, min_size=1, max_size=4).map("".join)
+        pattern = st.one_of(
+            seq,
+            st.tuples(seq, seq).map(lambda t: f"{t[0]}|{t[1]}"),
+            seq.map(lambda s: f"^{s}$"),
+            seq.map(lambda s: f"(?:{s})+"),
+        )
+        probe = st.text(
+            alphabet="ab7xyé .,\n\r\t[]{}\\d-", max_size=8
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(pat=pattern, text=probe)
+        def check(pat, text):
+            py = compile_python(pat).search(text) is not None
+            r2 = pc.match_substring_regex(
+                pa.array([text], type=pa.string()), translate(pat, "re2")
+            )[0].as_py()
+            assert py == r2, (pat, text)
+
+        check()
+
+
 class TestBackendParityOnConformancePatterns:
     """Every pattern in the conformance corpus renders and the three
     engines agree on a hostile probe set of strings."""
