@@ -13,15 +13,15 @@ exactly as the reference keeps its general VM
 
 Supported subset (try_lower returns None otherwise — never wrong,
 only absent):
-- root Switch over the parsed document's runtime type
+- Switch over the parsed value's runtime type, at any nesting depth
 - number arm:  NumRange / NumInteger / NumMultipleOf (+combinators)
 - string arm:  StrLength / StrMatch (+combinators)
-- null / boolean / array / non-root object arms: Valid / Invalid
+- null / boolean / array arms: Valid / Invalid (+scalar enums)
 - scalar EnumMatch at value level
-- ROOT object arm additionally: ObjRequired, PropRange,
-  ObjPropNames (string checks over keys), ObjPropSet with
-  identifier-named props, pattern props only as gates, and
-  boolean additionalProperties
+- object arms at ANY depth (subtree text via get_json_object feeds
+  json_object_keys): ObjRequired, PropRange, ObjPropNames (string
+  checks over keys), ObjPropSet with identifier-named props, pattern
+  props only as gates, and boolean additionalProperties
 
 Semantic parity contracts with pyeval (tested in
 test_json_builtin.py): strict JSON (NaN/Infinity rejected), numbers
@@ -95,11 +95,17 @@ def _is_int_dbl(d: Column) -> Column:
 
 
 class _Value:
-    """Accessors for the variant value at one JSON path."""
+    """Accessors for the variant value at one JSON path. `text` is a
+    Column holding this subtree's raw JSON text — available at the
+    document root (the input column) and at any object-valued path
+    (get_json_object returns the subtree text), which is what makes
+    nested object checks (keys, required, additionalProperties)
+    expressible: json_object_keys works on any object's text."""
 
-    def __init__(self, v: Column, path: str):
+    def __init__(self, v: Column, path: str, text: Column | None = None):
         self._v = v
         self._path = path
+        self.text = text
 
     @property
     def typ(self) -> Column:
@@ -115,6 +121,19 @@ class _Value:
 
     def b(self) -> Column:
         return F.try_variant_get(self._v, self._path, "boolean")
+
+    def child(self, key: str) -> "_Value":
+        sub_text = (
+            F.get_json_object(self.text, f"$.{key}")
+            if self.text is not None
+            else None
+        )
+        return _Value(self._v, f"{self._path}.{key}", sub_text)
+
+    def keys(self) -> Column:
+        if self.text is None:
+            raise _Unsupported("object keys unavailable at this path")
+        return F.array_distinct(F.json_object_keys(self.text))
 
 
 def _boolish(node: Node, leaf) -> Column:
@@ -224,12 +243,8 @@ def _enum_for_arm(node: EnumMatch, arm: str, col: Column) -> Column:
     raise _Unsupported(f"enum in {arm} arm")
 
 
-def _lower_value(
-    node: Node, val: _Value, root_ctx: Optional[dict] = None
-) -> Column:
-    """Value-level node -> Column over the variant at `val`'s path.
-    `root_ctx` carries {keys, json_col} when the value is the document
-    root (enables object checks via json_object_keys)."""
+def _lower_value(node: Node, val: _Value) -> Column:
+    """Value-level node -> Column over the variant at `val`'s path."""
     if isinstance(node, Ref):
         raise _Unsupported("$ref")
     if isinstance(node, (Valid, Invalid)):
@@ -261,9 +276,7 @@ def _lower_value(
             cond = cond | (typ == "VOID")
         return cond
     if isinstance(node, (And, Or, Xor, Not)):
-        return _boolish(
-            node, lambda n: _lower_value(n, val, root_ctx)
-        )
+        return _boolish(node, lambda n: _lower_value(n, val))
     if isinstance(node, Switch):
         typ = val.typ
         arms = dict(node.arms)
@@ -286,8 +299,8 @@ def _lower_value(
             typ.startswith("ARRAY"),
             _trivial_checks(arms["array"], "array", None),
         ).otherwise(expr)
-        if root_ctx is not None:
-            obj = _lower_root_object(arms["object"], root_ctx)
+        if val.text is not None:
+            obj = _lower_object(arms["object"], val)
         else:
             obj = _trivial_checks(arms["object"], "object", None)
         expr = F.when(
@@ -297,11 +310,10 @@ def _lower_value(
     raise _Unsupported(f"value-level node {type(node).__name__}")
 
 
-def _lower_root_object(node: Node, ctx: dict) -> Column:
-    """Object checks at the document root, where json_object_keys is
-    available. ctx = {"keys": Column (deduped key array), "v": variant}."""
-    keys: Column = ctx["keys"]
-    v: Column = ctx["v"]
+def _lower_object(node: Node, val: _Value) -> Column:
+    """Object checks at any object-valued path with JSON text available
+    (the root column, or a get_json_object subtree)."""
+    keys = val.keys()
 
     def leaf(n: Node) -> Column:
         if isinstance(n, ObjRequired):
@@ -331,10 +343,9 @@ def _lower_root_object(node: Node, ctx: dict) -> Column:
             for k, sub in n.props:
                 if not _IDENT.match(k):
                     raise _Unsupported(f"non-identifier key {k!r}")
-                sub_val = _Value(v, f"$.{k}")
                 conds = conds & F.when(
                     F.array_contains(keys, k),
-                    F.coalesce(_lower_value(sub, sub_val), _F()),
+                    F.coalesce(_lower_value(sub, val.child(k)), _F()),
                 ).otherwise(_T())
             pat_gates = []
             for pat, sub in n.patterns:
@@ -420,7 +431,7 @@ def _chk_trivial(node: Node, arm: str) -> None:
     _chk_combinators(node, leaf)
 
 
-def _chk_root_object(node: Node) -> None:
+def _chk_object(node: Node) -> None:
     def leaf(n):
         if isinstance(n, (ObjRequired, PropRange)):
             return
@@ -435,7 +446,7 @@ def _chk_root_object(node: Node) -> None:
             for k, sub in n.props:
                 if not _IDENT.match(k):
                     raise _Unsupported(f"non-identifier key {k!r}")
-                _chk_value(sub, at_root=False)
+                _chk_value(sub)
             for pat, sub in n.patterns:
                 if not isinstance(sub, Valid):
                     raise _Unsupported(
@@ -450,7 +461,7 @@ def _chk_root_object(node: Node) -> None:
     _chk_combinators(node, leaf)
 
 
-def _chk_value(node: Node, at_root: bool) -> None:
+def _chk_value(node: Node) -> None:
     if isinstance(node, Ref):
         raise _Unsupported("$ref")
     if isinstance(node, (Valid, Invalid)):
@@ -459,10 +470,10 @@ def _chk_value(node: Node, at_root: bool) -> None:
         return _scalar_enum_ok(node)
     if isinstance(node, (And, Or, Xor)):
         for t in node.terms:
-            _chk_value(t, at_root)
+            _chk_value(t)
         return
     if isinstance(node, Not):
-        return _chk_value(node.term, at_root)
+        return _chk_value(node.term)
     if isinstance(node, Switch):
         arms = dict(node.arms)
         _chk_trivial(arms["null"], "null")
@@ -470,10 +481,7 @@ def _chk_value(node: Node, at_root: bool) -> None:
         _chk_number(arms["number"])
         _chk_string(arms["string"])
         _chk_trivial(arms["array"], "array")
-        if at_root:
-            _chk_root_object(arms["object"])
-        else:
-            _chk_trivial(arms["object"], "object")
+        _chk_object(arms["object"])
         return
     raise _Unsupported(f"value-level node {type(node).__name__}")
 
@@ -488,7 +496,7 @@ def try_lower(spec) -> Optional[Callable[[Column], Column]]:
         return None
     root = spec.root
     try:
-        _chk_value(root, at_root=True)
+        _chk_value(root)
     except _Unsupported:
         return None
 
@@ -499,9 +507,7 @@ def try_lower(spec) -> Optional[Callable[[Column], Column]]:
 
 
 def _build(root: Node, col: Column, v: Column) -> Column:
-    keys = F.array_distinct(F.json_object_keys(col))
-    ctx = {"keys": keys, "v": v}
-    expr = _lower_value(root, _Value(v, "$"), root_ctx=ctx)
+    expr = _lower_value(root, _Value(v, "$", text=col))
     # STRICT-JSON guard: the JVM JSON functions are lenient about
     # trailing tokens ('{"k":5}extra') and json_array_length alone
     # allows single quotes / raw control chars; the conjunction of
@@ -510,9 +516,15 @@ def _build(root: Node, col: Column, v: Column) -> Column:
     # probe battery in test_json_builtin.py — keeping the fast path
     # verdict-identical to pyeval (and to the reference's strict SJP
     # parser).
+    # v.cast(string) (variant -> json text) is NULL exactly when the
+    # document contains DUPLICATE OBJECT KEYS at any depth — such
+    # documents are ambiguous (variant_get returns NULL for the dup
+    # path; dict parsers keep last-wins; the reference's streaming VM
+    # validates every occurrence) and the engine rejects them on every
+    # backend (pyeval raises via object_pairs_hook -> INVALID_JSON)
     strict = (
         F.json_array_length(F.concat(F.lit("["), col, F.lit("]"))) == 1
-    ) & v.isNotNull()
+    ) & (v.cast("string").isNotNull() | F.is_variant_null(v))
     # malformed / non-JSON / SQL NULL -> schema_of_variant is NULL ->
     # every typ test is NULL -> coalesce to invalid
     return F.coalesce(strict & expr, _F())

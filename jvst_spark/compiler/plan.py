@@ -48,6 +48,20 @@ def _bad_const(s):
     raise ValueError(f"non-standard JSON constant: {s}")
 
 
+def _no_dup_pairs(pairs):
+    """Objects with duplicate keys are AMBIGUOUS (last-wins for dict
+    parsers, every-occurrence for the reference's streaming VM, NULL
+    for Spark's variant reader) — the engine uniformly rejects them as
+    invalid JSON on every backend (json_builtin's fast path detects
+    them via the variant round-trip)."""
+    d = {}
+    for k, v in pairs:
+        if k in d:
+            raise ValueError(f"duplicate object key: {k!r}")
+        d[k] = v
+    return d
+
+
 _VIOLATION_ELEM = StructType(
     [
         StructField("code", IntegerType(), False),
@@ -232,7 +246,11 @@ class ValidationPlan:
                     # strict JSON: NaN/Infinity literals are rejected,
                     # as by the reference's SJP parser and the JVM-side
                     # fast path (try_parse_json)
-                    doc = json.loads(txt, parse_constant=_bad_const)
+                    doc = json.loads(
+                        txt,
+                        parse_constant=_bad_const,
+                        object_pairs_hook=_no_dup_pairs,
+                    )
                 except (ValueError, RecursionError):
                     return [{"code": E.INVALID_JSON, "path": "$"}]
                 # one adversarial document must yield a verdict, never

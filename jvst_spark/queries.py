@@ -238,6 +238,75 @@ def val_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nested dynamic-JSON: a two-level spec over a JSON document derived
+# deterministically from events (lang pattern, score range, integer n,
+# additionalProperties at both levels) — exercises the JVM variant
+# fast path on nested objects; the oracle computes the same verdict
+# from the raw columns
+_NESTED_SPEC = {
+    "type": "object",
+    "required": ["meta"],
+    "additionalProperties": False,
+    "properties": {
+        "meta": {
+            "type": "object",
+            "required": ["lang"],
+            "additionalProperties": False,
+            "properties": {
+                "lang": {"type": "string", "pattern": "^[a-z]+$"},
+                "score": {"type": "number", "minimum": 0, "maximum": 1},
+            },
+        },
+        "n": {"type": "integer", "minimum": 0},
+    },
+}
+
+
+@query(
+    "val_json_nested",
+    """
+SELECT event_id AS doc_id,
+       coalesce(
+         event_type IS NOT NULL
+         AND (CASE WHEN event_id % 7 = 0
+                   THEN regexp_matches(upper(event_type), '^[a-z]+$')
+                   ELSE regexp_matches(event_type, '^[a-z]+$') END)
+         AND (value IS NULL
+              OR (value / 50.0 >= 0 AND value / 50.0 <= 1))
+         AND (event_id * (CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END))
+             >= 0,
+         FALSE) AS valid
+FROM events
+""",
+)
+def val_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested schemaless-JSON validation through the JVM variant fast
+    path (no Python in the verdict plan): documents built with to_json
+    from event columns, with injected violations (uppercase lang on
+    id%7, score>1 for value>50, negative n on id%13)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lang = F.when(
+        F.col("event_id") % 7 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    n = F.col("event_id") * F.when(
+        F.col("event_id") % 13 == 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                lang.alias("lang"),
+                (F.col("value") / 50.0).alias("score"),
+            ).alias("meta"),
+            n.alias("n"),
+        )
+    )
+    df = ev.select("event_id", doc.alias("body"))
+    plan = ValidationPlan(compile_schema(_NESTED_SPEC))
+    return plan.apply_json(df, "body", id_col="event_id").verdicts().select(
+        "doc_id", "valid"
+    )
+
+
 # ---------------------------------------------------------------------
 # table-level checks (ops 41-43)
 # ---------------------------------------------------------------------

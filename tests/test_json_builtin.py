@@ -32,12 +32,54 @@ HOSTILE_DOCS = [
     # json.loads does
     "{'k':5}", '{"k":"a\tb"}', '{"k":05}', '[1,2,]', '{"k":5},',
     '{"k":5} {"j":1}', "  ", '{"k": 5}   ', '5,6', '{"k":+5}',
+    # duplicate object keys: ambiguous documents, rejected as invalid
+    # JSON on every backend (see plan._no_dup_pairs)
+    '{"k":1,"k":1}', '{"k":60,"k":1}', '{"k":5,"x":{"a":1,"a":2}}',
+]
+
+NESTED_SPEC = {
+    "type": "object",
+    "required": ["meta"],
+    "properties": {
+        "meta": {
+            "type": "object",
+            "required": ["lang"],
+            "properties": {
+                "lang": {"type": "string", "minLength": 2, "maxLength": 2},
+                "score": {"type": "number", "minimum": 0, "maximum": 1},
+            },
+            "additionalProperties": False,
+        },
+        "n": {"type": "integer"},
+    },
+}
+
+NESTED_DOCS = [
+    '{"meta": {"lang": "en", "score": 0.5}}',
+    '{"meta": {"lang": "en"}, "n": 3}',
+    '{"meta": {"lang": "eng"}}',
+    '{"meta": {"lang": "en", "score": 1.5}}',
+    '{"meta": {"lang": "en", "extra": 1}}',
+    '{"meta": {"score": 0.5}}',
+    '{"meta": {}}', '{"meta": 5}', "{}", '{"meta": {"lang": 2}}',
+    '{"n": 1, "meta": {"lang": "fr", "score": 0}}',
+    '{"meta": {"lang": "fr"}, "n": 1.5}',
 ]
 
 
 class TestFastPathSupported:
     def test_props_spec_lowers(self):
         assert try_lower(compile_schema(PROPS_SPEC)) is not None
+
+    def test_nested_object_spec_lowers(self):
+        assert try_lower(compile_schema(
+            {"properties": {"a": {
+                "type": "object",
+                "required": ["b"],
+                "properties": {"b": {"type": "integer", "minimum": 1}},
+                "additionalProperties": False,
+            }}}
+        )) is not None
 
     @pytest.mark.parametrize(
         "schema",
@@ -46,12 +88,11 @@ class TestFastPathSupported:
              "definitions": {"a": {"properties": {"b": {"$ref": "#/definitions/a"}}}}},
             {"type": "array", "items": {"type": "integer"}},
             {"uniqueItems": True},
-            {"properties": {"a": {"properties": {"b": {"type": "integer"}}}}},
             {"enum": [[1, 2]]},
             {"properties": {"weird key!": {"type": "string"}}},
             {"patternProperties": {"^x": {"type": "integer"}}},
         ],
-        ids=["cyclic-ref", "array-items", "unique", "nested-obj",
+        ids=["cyclic-ref", "array-items", "unique",
              "composite-enum", "non-ident-key", "pattern-subschema"],
     )
     def test_unsupported_specs_fall_back(self, schema):
@@ -75,6 +116,24 @@ class TestFastPathParity:
                 r["valid"],
                 r["_violations"],
             )
+
+    def test_nested_spec_matches_pyeval(self, spark):
+        spec = compile_schema(NESTED_SPEC)
+        fast = try_lower(spec)
+        assert fast is not None
+        pyv = compile_python(spec.root, spec.defs)
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(NESTED_DOCS)],
+            ["doc_id", "body"],
+        )
+        got = {
+            int(r["doc_id"]): r["v"]
+            for r in df.select(
+                "doc_id", fast(F.col("body")).alias("v")
+            ).collect()
+        }
+        for i, d in enumerate(NESTED_DOCS):
+            assert got[i] == pyv(json.loads(d)), d
 
     def test_conformance_corpus_fastpath_agrees(self, spark):
         """Every lowerable schema in the corpus: builtin verdict ==
