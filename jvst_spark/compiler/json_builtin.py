@@ -16,7 +16,9 @@ only absent):
 - Switch over the parsed value's runtime type, at any nesting depth
 - number arm:  NumRange / NumInteger / NumMultipleOf (+combinators)
 - string arm:  StrLength / StrMatch (+combinators)
-- null / boolean / array arms: Valid / Invalid (+scalar enums)
+- null / boolean arms: Valid / Invalid (+scalar enums)
+- array arms: min/maxItems via json_array_length (items/contains/
+  uniqueItems stay on pyeval)
 - scalar EnumMatch at value level
 - object arms at ANY depth (subtree text via get_json_object feeds
   json_object_keys): ObjRequired, PropRange, ObjPropNames (string
@@ -204,6 +206,22 @@ def _number_checks(node: Node, d: Column) -> Column:
     return _boolish(node, leaf)
 
 
+def _array_checks(node: Node, val: _Value) -> Column:
+    """Array-arm leaves: min/maxItems via json_array_length over the
+    subtree text (items/contains/uniqueItems stay on pyeval)."""
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, ItemRange) and val.text is not None:
+            ln = F.json_array_length(val.text)
+            c = ln >= F.lit(n.lo)
+            if n.hi is not None:
+                c = c & (ln <= F.lit(n.hi))
+            return c
+        raise _Unsupported(f"array leaf {type(n).__name__}")
+
+    return _boolish(node, leaf)
+
+
 def _trivial_checks(node: Node, arm: str, val: Optional[_Value]) -> Column:
     """Arms where only Valid/Invalid (+ scalar enum for bool/null) fit."""
 
@@ -296,8 +314,7 @@ def _lower_value(node: Node, val: _Value) -> Column:
             typ == "STRING", _string_checks(arms["string"], val.s())
         ).otherwise(expr)
         expr = F.when(
-            typ.startswith("ARRAY"),
-            _trivial_checks(arms["array"], "array", None),
+            typ.startswith("ARRAY"), _array_checks(arms["array"], val)
         ).otherwise(expr)
         if val.text is not None:
             obj = _lower_object(arms["object"], val)
@@ -431,6 +448,15 @@ def _chk_trivial(node: Node, arm: str) -> None:
     _chk_combinators(node, leaf)
 
 
+def _chk_array(node: Node) -> None:
+    def leaf(n):
+        if isinstance(n, ItemRange):
+            return
+        raise _Unsupported(f"array leaf {type(n).__name__}")
+
+    _chk_combinators(node, leaf)
+
+
 def _chk_object(node: Node) -> None:
     def leaf(n):
         if isinstance(n, (ObjRequired, PropRange)):
@@ -480,7 +506,7 @@ def _chk_value(node: Node) -> None:
         _chk_trivial(arms["boolean"], "boolean")
         _chk_number(arms["number"])
         _chk_string(arms["string"])
-        _chk_trivial(arms["array"], "array")
+        _chk_array(arms["array"])
         _chk_object(arms["object"])
         return
     raise _Unsupported(f"value-level node {type(node).__name__}")

@@ -99,3 +99,28 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.md5(F.concat_ws(" ", t)).alias("fingerprint")
     )
+
+
+# BPE-ish pre-tokenizer regex (GPT-2-style, simplified to the
+# Java/RE2-common subset: letter runs, single digits, punctuation
+# runs). Rendered identically in Spark (java regex) and the DuckDB
+# oracle (RE2) — both treat it the same because it avoids every
+# dialect-divergent construct (see spec/redialect.py).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_word): whitespace
+    token count vs BPE-ish subword count — the standard budget metric
+    for LLM training-data sizing. Pure Column expressions
+    (regexp_extract_all), shuffle-free."""
+    t = tokens(F.col(text_col))
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(
+            F.size(bpe) / F.greatest(F.size(t), F.lit(1)), 6
+        ).alias("bpe_per_word"),
+    )

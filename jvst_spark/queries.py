@@ -518,6 +518,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_count_bpe",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk,
+       regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]+') AS bpe
+     FROM documents)
+SELECT doc_id, len(tk) AS n_ws_tokens, len(bpe) AS n_bpe_tokens,
+       round(len(bpe) / greatest(len(tk), 1), 6) AS bpe_per_word
+FROM toks
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish subword token counts (the training-data
+    budget metric) — one regexp_extract_all pass, dialect-safe pattern
+    evaluated identically by Spark's java regex and DuckDB's RE2."""
+    from jvst_spark.ops.text import bpe_token_count
+
+    return bpe_token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@query(
     "text_fingerprint",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)

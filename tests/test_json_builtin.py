@@ -71,6 +71,23 @@ class TestFastPathSupported:
     def test_props_spec_lowers(self):
         assert try_lower(compile_schema(PROPS_SPEC)) is not None
 
+    def test_array_length_spec_lowers_and_agrees(self, spark):
+        schema = {"properties": {"tags": {
+            "type": "array", "minItems": 1, "maxItems": 3}}}
+        spec = compile_schema(schema)
+        fast = try_lower(spec)
+        assert fast is not None
+        pyv = compile_python(spec.root, spec.defs)
+        docs = ['{"tags": []}', '{"tags": [1]}', '{"tags": [1,2,3]}',
+                '{"tags": [1,2,3,4]}', '{"tags": "x"}', "{}",
+                '{"tags": [[1],[2]]}']
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(docs)], ["doc_id", "body"])
+        got = {int(r["doc_id"]): r["v"] for r in df.select(
+            "doc_id", fast(F.col("body")).alias("v")).collect()}
+        for i, d in enumerate(docs):
+            assert got[i] == pyv(json.loads(d)), d
+
     def test_nested_object_spec_lowers(self):
         assert try_lower(compile_schema(
             {"properties": {"a": {
