@@ -201,6 +201,96 @@ def near_dup_pairs_blocked(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cid, rn): each vector's n_probes nearest centroids by
+    cosine (rounded to 6 so the DuckDB oracle tie-breaks identically;
+    ties broken by centroid id). The centroid table broadcasts; the
+    corpus streams once — C dot products per row, map-side only."""
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vid",
+            "cid",
+            F.round(cosine_expr(F.col("v"), F.col("cv")), 6).alias("s"),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("s").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probes)
+        .select("vid", "cid", "rn")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 2,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: deterministic centroids (every
+    `centroid_stride`-th vector), corpus vectors assigned to their
+    nearest centroid, queries probe their n_probes nearest cells,
+    exact cosine re-rank within probed cells.
+
+    The 100 TB shape: centroids broadcast (tiny dim table), assignment
+    is one corpus scan with map-side dot products, the candidate join
+    shuffles only (cid) cell keys — never all-pairs; skewed cells are
+    AQE-split. A production deployment swaps the stride centroids for
+    k-means centroids with the identical plan."""
+    cents = emb.filter(F.col(id_col) % centroid_stride == 0)
+    n_assign = ivf_assign(emb, cents, 1, id_col, vec_col).select(
+        F.col("vid").alias("n_id"), "cid"
+    )
+    q_assign = ivf_assign(queries, cents, n_probes, id_col, vec_col).select(
+        F.col("vid").alias("q_id"), "cid"
+    )
+    cand = (
+        q_assign.join(n_assign, "cid")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v")
+    )
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    from pyspark.sql import Window
+
+    scored = (
+        c.join(F.broadcast(cand), "n_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("q_v"), F.col("n_v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, table: int) -> List[List[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from md5 bytes
     (no RNG dependency; same planes every run/engine)."""

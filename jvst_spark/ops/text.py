@@ -124,3 +124,50 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(bpe) / F.greatest(F.size(t), F.lit(1)), 6
         ).alias("bpe_per_word"),
     )
+
+
+def winnowing_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprint by winnowing (the MOSS
+    scheme): token k-gram polynomial hashes, minimum per sliding
+    window of w, distinct-sorted mins hashed into one fingerprint.
+    Near-identical documents share most window minima, so fingerprint
+    overlap survives local edits — unlike the exact bag-of-words
+    fingerprint. Pure Column expressions; hashes are 32-bit md5
+    prefixes folded base-31 (portable to the DuckDB oracle).
+
+    Returns (doc_id, winnow_fp, n_grams)."""
+    t = tokens(F.col(text_col))
+    th = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)) + 1),
+        lambda i: F.aggregate(
+            F.slice(th, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc * 31 + h,
+        ),
+    )
+    # let-bind the gram array (element_at(transform(array(...)))) so
+    # the window pass reads an attribute instead of re-deriving it
+    def windows_of(g: Column) -> Column:
+        m = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(g) - w, F.lit(0)) + 1),
+            lambda i: F.array_min(F.slice(g, i, w)),
+        )
+        return F.struct(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.array_distinct(m)))
+            ).alias("fp"),
+            F.size(g).alias("ng"),
+        )
+
+    packed = F.element_at(F.transform(F.array(grams), windows_of), 1)
+    return df.select(
+        "doc_id",
+        packed["fp"].alias("winnow_fp"),
+        packed["ng"].alias("n_grams"),
+    )

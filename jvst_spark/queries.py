@@ -552,6 +552,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+@query(
+    "text_winnow_fingerprint",
+    # token 3-gram base-31 rolling hashes, window-4 winnowing minima;
+    # list_reduce((a,b)->a*31+b) == Spark aggregate(0, acc*31+h) since
+    # 0*31+h1 == h1
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+th AS (SELECT doc_id, list_transform(tk,
+         t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs,
+       len(tk) AS n FROM toks),
+g AS (SELECT doc_id, list_transform(
+         range(1, greatest(n - 3, 0) + 2),
+         i -> list_reduce(list_slice(hs, i, i + 2), (a, b) -> a * 31 + b))
+       AS grams FROM th),
+m AS (SELECT doc_id, grams, list_transform(
+         range(1, greatest(len(grams) - 4, 0) + 2),
+         i -> list_min(list_slice(grams, i, i + 3))) AS mins FROM g)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS winnow_fp,
+       len(grams) AS n_grams
+FROM m
+""",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint (MOSS scheme) — the
+    edit-tolerant document fingerprint beside the exact bag-of-words
+    one; shuffle-free Column expressions."""
+    from jvst_spark.ops.text import winnowing_fingerprint
+
+    return winnowing_fingerprint(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 # ---------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------
@@ -846,6 +880,43 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_ann_topk(emb, emb.filter("vec_id < 10"), dim=64, k=5)
+
+
+@query(
+    "sim_ivf_ann_topk",
+    f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id % 97 = 0),
+scored AS (SELECT e.vec_id AS vid, e.embedding, c.cid,
+                  round({_COS_SQL.format(a='e.embedding', b='c.cv')}, 6) AS s
+           FROM embeddings e CROSS JOIN c),
+asn AS (SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY s DESC, cid) AS rn
+        FROM scored),
+n_assign AS (SELECT vid AS n_id, cid FROM asn WHERE rn = 1),
+q_assign AS (SELECT vid AS q_id, cid FROM asn WHERE vid < 10 AND rn <= 2),
+cand AS (SELECT DISTINCT q_id, n_id
+         FROM q_assign JOIN n_assign USING (cid) WHERE q_id != n_id),
+s AS (SELECT q_id AS query_id, n_id AS neighbor_id,
+             round({_COS_SQL.format(a='qe.embedding', b='ne.embedding')}, 6) AS sim
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+                JOIN embeddings ne ON ne.vec_id = cand.n_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+""",
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (deterministic stride centroids, 2 probes, exact
+    re-rank within probed cells) — the second approximate scale path
+    beside sign-LSH; centroids broadcast, cell-key shuffle only."""
+    from jvst_spark.ops.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann_topk(emb, emb.filter("vec_id < 10"), k=5, n_probes=2)
 
 
 # ---------------------------------------------------------------------

@@ -117,6 +117,29 @@ class TestSimilarity:
             for k in got:
                 assert abs(got[k] - exact[k]) < 1e-6, (n_blocks, k)
 
+    def test_ivf_ann_recall_vs_exact(self, spark, emb):
+        from jvst_spark.ops.similarity import brute_force_topk, ivf_ann_topk
+
+        exact = brute_force_topk(emb, emb.filter("vec_id < 10"), k=5).collect()
+        approx = ivf_ann_topk(
+            emb, emb.filter("vec_id < 10"), k=5, n_probes=2
+        ).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        assert approx_set
+        # stride centroids on unclustered synthetic vectors: modest
+        # recall is expected; the plan shape is what's under test
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.2, f"recall {recall}"
+        # every reported neighbor's sim must equal the exact cosine
+        exact_all = brute_force_topk(emb, emb.filter("vec_id < 10"), k=500)
+        sims = {
+            (r["query_id"], r["neighbor_id"]): r["sim"]
+            for r in exact_all.collect()
+        }
+        for r in approx:
+            assert abs(sims[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
+
     def test_brute_force_topk_sanity(self, spark, emb):
         from jvst_spark.ops.similarity import brute_force_topk
 
