@@ -956,6 +956,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    # videos (doc_id % 3 == 2), duration = n_chars*10 ms, one frame per
+    # second: frame_idx 0..max(dur/1000 - 1, 0)
+    """
+WITH vids AS (SELECT concat('media-', CAST(doc_id AS VARCHAR)) AS media_ref,
+                     n_chars * 10 AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2)
+SELECT media_ref, CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 AS INT) AS ts_ms
+FROM vids, UNNEST(range(0, greatest(duration_ms // 1000 - 1, 0) + 1)) AS t(f)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (one row per sampled timestamp —
+    the explode shape a real sampler feeds into the decode stage)."""
+    from jvst_spark.ops.multimodal import frame_sample_plan, synthetic_media
+
+    media = synthetic_media(spark, sf_dir)
+    out = frame_sample_plan(media, every_ms=1000)
+    return out.select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("int").alias("ts_ms"),
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
