@@ -142,17 +142,12 @@ def winnowing_fingerprint(
     th = F.transform(
         t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
     )
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)) + 1),
-        lambda i: F.aggregate(
-            F.slice(th, i, k),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc * 31 + h,
-        ),
-    )
-    # let-bind the gram array (element_at(transform(array(...)))) so
-    # the window pass reads an attribute instead of re-deriving it
+
+    # TWO let-binding levels (element_at(transform(array(...), f), 1)):
+    # without them Catalyst re-derives the token-hash array inside
+    # every gram slice (O(n^2) md5 evaluations per document — measured
+    # 19s for the 5k-doc bench vs <1s bound) and the gram array inside
+    # every window slice.
     def windows_of(g: Column) -> Column:
         m = F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(g) - w, F.lit(0)) + 1),
@@ -165,7 +160,19 @@ def winnowing_fingerprint(
             F.size(g).alias("ng"),
         )
 
-    packed = F.element_at(F.transform(F.array(grams), windows_of), 1)
+    def over_hashes(th_b: Column) -> Column:
+        n = F.size(th_b)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)) + 1),
+            lambda i: F.aggregate(
+                F.slice(th_b, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc * 31 + h,
+            ),
+        )
+        return F.element_at(F.transform(F.array(grams), windows_of), 1)
+
+    packed = F.element_at(F.transform(F.array(th), over_hashes), 1)
     return df.select(
         "doc_id",
         packed["fp"].alias("winnow_fp"),
