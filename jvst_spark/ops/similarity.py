@@ -254,6 +254,12 @@ def ivf_ann_topk(
     AQE-split. A production deployment swaps the stride centroids for
     k-means centroids with the identical plan."""
     cents = emb.filter(F.col(id_col) % centroid_stride == 0)
+    if cents.isEmpty():
+        raise ValueError(
+            f"ivf_ann_topk: no centroids (no {id_col} divisible by "
+            f"{centroid_stride}); pass a centroid_stride that selects "
+            "a non-empty subset, or supply k-means centroids"
+        )
     n_assign = ivf_assign(emb, cents, 1, id_col, vec_col).select(
         F.col("vid").alias("n_id"), "cid"
     )
@@ -272,9 +278,12 @@ def ivf_ann_topk(
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
     from pyspark.sql import Window
 
+    # no broadcast hint: bucket skew can make the candidate set large,
+    # and a forced broadcast would OOM instead of degrading to a
+    # shuffle join (AQE still broadcasts it when it is actually small)
     scored = (
-        c.join(F.broadcast(cand), "n_id")
-        .join(F.broadcast(q), "q_id")
+        c.join(cand, "n_id")
+        .join(q, "q_id")
         .select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),
@@ -394,9 +403,12 @@ def lsh_ann_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v")
     )
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    # no broadcast hint: bucket skew can make the candidate set large,
+    # and a forced broadcast would OOM instead of degrading to a
+    # shuffle join (AQE still broadcasts it when it is actually small)
     scored = (
-        c.join(F.broadcast(cand), "n_id")
-        .join(F.broadcast(q), "q_id")
+        c.join(cand, "n_id")
+        .join(q, "q_id")
         .select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),

@@ -562,10 +562,11 @@ WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
 th AS (SELECT doc_id, list_transform(tk,
          t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS hs,
        len(tk) AS n FROM toks),
-g AS (SELECT doc_id, list_transform(
+g AS (SELECT doc_id, CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+       ELSE list_transform(
          range(1, greatest(n - 3, 0) + 2),
          i -> list_reduce(list_slice(hs, i, i + 2), (a, b) -> a * 31 + b))
-       AS grams FROM th),
+       END AS grams FROM th),
 m AS (SELECT doc_id, grams, list_transform(
          range(1, greatest(len(grams) - 4, 0) + 2),
          i -> list_min(list_slice(grams, i, i + 3))) AS mins FROM g)

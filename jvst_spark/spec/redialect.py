@@ -103,18 +103,19 @@ def _literal(ch: str, target: str, in_class: bool = False) -> str:
 
 def _escape(pattern: str, i: int, target: str, in_class: bool):
     """Handle a backslash escape starting at pattern[i] == '\\\\'.
-    Returns (rendered, next_index)."""
+    Returns (rendered, next_index, codepoint) — codepoint is None for
+    class-body expansions (\\d/\\w/\\s), the matched char otherwise."""
     n = len(pattern)
     if i + 1 >= n:
         raise UnsupportedPattern("trailing backslash")
     e = pattern[i + 1]
     if e == "d":
-        return (_DIGIT_BODY if in_class else f"[{_DIGIT_BODY}]"), i + 2
+        return (_DIGIT_BODY if in_class else f"[{_DIGIT_BODY}]"), i + 2, None
     if e == "w":
-        return (_WORD_BODY if in_class else f"[{_WORD_BODY}]"), i + 2
+        return (_WORD_BODY if in_class else f"[{_WORD_BODY}]"), i + 2, None
     if e == "s":
         body = _space_body(target)
-        return (body if in_class else f"[{body}]"), i + 2
+        return (body if in_class else f"[{body}]"), i + 2, None
     if e in ("D", "W", "S"):
         if in_class:
             raise UnsupportedPattern(
@@ -123,28 +124,51 @@ def _escape(pattern: str, i: int, target: str, in_class: bool):
         body = {
             "D": _DIGIT_BODY, "W": _WORD_BODY, "S": _space_body(target)
         }[e]
-        return f"[^{body}]", i + 2
+        return f"[^{body}]", i + 2, None
     if e in ("n", "r", "t", "f"):
-        return "\\" + e, i + 2
+        cp = {"n": 0x0A, "r": 0x0D, "t": 0x09, "f": 0x0C}[e]
+        return "\\" + e, i + 2, cp
     if e == "v":
         # Java's \v is a vertical-whitespace CLASS; pin to U+000B
-        return "\\x0b", i + 2
+        return "\\x0b", i + 2, 0x0B
     if e == "0":
         if i + 2 < n and pattern[i + 2].isdigit():
             raise UnsupportedPattern("octal escape")
-        return "\\x00", i + 2
+        return "\\x00", i + 2, 0
     if e == "x":
         hh = pattern[i + 2 : i + 4]
         if len(hh) != 2 or any(c not in "0123456789abcdefABCDEF" for c in hh):
             raise UnsupportedPattern("\\x needs two hex digits")
-        return "\\x" + hh.lower(), i + 4
+        return "\\x" + hh.lower(), i + 4, int(hh, 16)
     if e == "u":
         hhhh = pattern[i + 2 : i + 6]
         if len(hhhh) != 4 or any(
             c not in "0123456789abcdefABCDEF" for c in hhhh
         ):
             raise UnsupportedPattern("\\u needs four hex digits")
-        return _uni(int(hhhh, 16), target), i + 6
+        cp = int(hhhh, 16)
+        j = i + 6
+        if 0xD800 <= cp <= 0xDBFF:
+            # UTF-16 surrogate pair: ECMA patterns address astral chars
+            # as two \u escapes; Python regexes are code-point based,
+            # so the pair must combine into one astral escape or the
+            # backends diverge silently
+            lo_hex = pattern[j + 2 : j + 6] if pattern[j : j + 2] == "\\u" else ""
+            if len(lo_hex) == 4 and all(
+                c in "0123456789abcdefABCDEF" for c in lo_hex
+            ):
+                lo = int(lo_hex, 16)
+                if 0xDC00 <= lo <= 0xDFFF:
+                    cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                    return _uni(cp, target), j + 6, cp
+            raise UnsupportedPattern(
+                f"lone high surrogate \\u{cp:04x} (not a code point)"
+            )
+        if 0xDC00 <= cp <= 0xDFFF:
+            raise UnsupportedPattern(
+                f"lone low surrogate \\u{cp:04x} (not a code point)"
+            )
+        return _uni(cp, target), j, cp
     if e in "123456789":
         raise UnsupportedPattern(
             f"backreference \\{e}: not DFA-expressible (the reference "
@@ -152,7 +176,7 @@ def _escape(pattern: str, i: int, target: str, in_class: bool):
         )
     if e == "b":
         if in_class:
-            return "\\x08", i + 2  # backspace inside a class (ECMA)
+            return "\\x08", i + 2, 0x08  # backspace inside a class
         raise UnsupportedPattern(
             "word boundary \\b: not DFA-expressible and unicode-divergent"
         )
@@ -171,13 +195,30 @@ def _escape(pattern: str, i: int, target: str, in_class: bool):
     if e.isalnum():
         raise UnsupportedPattern(f"unknown escape \\{e}")
     if e in _ASCII_PUNCT:
-        return "\\" + e, i + 2
+        return "\\" + e, i + 2, ord(e)
     # identity escape of a non-ASCII char: render the char itself
-    return _literal(e, target, in_class), i + 2
+    return _literal(e, target, in_class), i + 2, ord(e)
+
+
+def _class_atom(pattern: str, j: int, target: str):
+    """One class item -> (kind, rendered, cp, next_j); kind is 'char'
+    (cp set) or 'body' (a \\d/\\w/\\s expansion, cp None)."""
+    c = pattern[j]
+    if c == "\\":
+        rendered, j2, cp = _escape(pattern, j, target, in_class=True)
+        return ("body" if cp is None else "char"), rendered, cp, j2
+    if c in "[&^-":
+        # escape what some engine treats specially inside a class
+        # (Java nesting/intersection; dash handled by the range logic)
+        return "char", "\\" + c, ord(c), j + 1
+    return "char", _literal(c, target, in_class=True), ord(c), j + 1
 
 
 def _char_class(pattern: str, i: int, target: str):
-    """Parse a [...] class starting at pattern[i] == '['."""
+    """Parse a [...] class starting at pattern[i] == '[' item by item,
+    so ranges are validated at compile time and shorthand expansions
+    can never glue onto a neighboring '-' to form an unintended or
+    invalid range ([\\w-.] must stay literal-dash, [a-\\d] too)."""
     n = len(pattern)
     j = i + 1
     neg = False
@@ -193,26 +234,38 @@ def _char_class(pattern: str, i: int, target: str):
     body = []
     closed = False
     while j < n:
-        c = pattern[j]
-        if c == "]":
+        if pattern[j] == "]":
             closed = True
             j += 1
             break
-        if c == "\\":
-            rendered, j = _escape(pattern, j, target, in_class=True)
-            body.append(rendered)
-        elif c == "[":
-            body.append("\\[")  # Java nested-class syntax
-            j += 1
-        elif c == "&":
-            body.append("\\&")  # Java && intersection
-            j += 1
-        elif c == "^":
-            body.append("\\^")
-            j += 1
-        else:
-            body.append(_literal(c, target, in_class=True))
-            j += 1
+        kind, rend, cp, j = _class_atom(pattern, j, target)
+        # range? a '-' NOT followed by ']' binds the next atom
+        if (
+            j < n
+            and pattern[j] == "-"
+            and j + 1 < n
+            and pattern[j + 1] != "]"
+        ):
+            if kind != "char":
+                # ECMA Annex B: '-' after a class escape is a literal
+                body.append(rend)
+                body.append("\\-")
+                j += 1
+                continue
+            kind2, rend2, cp2, j2 = _class_atom(pattern, j + 1, target)
+            j = j2
+            if kind2 != "char":
+                body.append(rend)
+                body.append("\\-")
+                body.append(rend2)
+                continue
+            if cp2 < cp:
+                raise UnsupportedPattern(
+                    f"reversed class range (U+{cp:04X}-U+{cp2:04X})"
+                )
+            body.append(f"{rend}-{rend2}")
+            continue
+        body.append(rend)
     if not closed:
         raise UnsupportedPattern("unterminated character class")
     return "[" + ("^" if neg else "") + "".join(body) + "]", j
@@ -238,11 +291,10 @@ def _group_open(pattern: str, i: int, target: str):
         m = _GROUP_NAME_RE.match(pattern, i + 2)
         if not m:
             raise UnsupportedPattern("malformed group name")
-        name = m.group(1)
-        rendered = (
-            f"(?P<{name}>" if target in ("python", "re2") else f"(?<{name}>"
-        )
-        return rendered, m.end()
+        # group NAMES are semantically inert here (backreferences are
+        # rejected), and the engines disagree on allowed name chars
+        # (Java forbids '_') — render as a plain non-capturing group
+        return "(?:", m.end()
     raise UnsupportedPattern(f"unsupported group (?{c} (inline flags?)")
 
 
@@ -259,7 +311,7 @@ def translate(pattern: str, target: str) -> str:
     while i < n:
         c = pattern[i]
         if c == "\\":
-            rendered, i = _escape(pattern, i, target, in_class=False)
+            rendered, i, _cp = _escape(pattern, i, target, in_class=False)
             out.append(rendered)
             can_quant = True
         elif c == "^":

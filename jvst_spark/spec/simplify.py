@@ -33,12 +33,10 @@ Rules (reference file:line for each):
 
 from __future__ import annotations
 
-import re
-
-from jvst_spark.spec import redialect
 from typing import List, Optional, Tuple, Type
 
 from jvst_spark import errors as E
+from jvst_spark.spec import redialect
 from jvst_spark.spec.nodes import (
     JSON_TYPES,
     And,

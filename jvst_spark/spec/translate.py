@@ -113,13 +113,18 @@ class _DocCtx:
     """A $ref resolution scope: a raw (sub)schema rooted at a base URI.
     Every schema document and every $id-bearing subschema opens one —
     the analogue of the reference's id table entries
-    (src/idtbl.h:11-89) built by parserutils.c."""
+    (src/idtbl.h:11-89) built by parserutils.c. `root` is the document
+    JSON pointers resolve against: the scope's own raw schema for real
+    base-URI changes, but the ENCLOSING document for plain-name
+    fragment anchors ($id: "#foo" is location-independent naming, not
+    a base change — draft-6 §9.2)."""
 
-    __slots__ = ("raw", "base")
+    __slots__ = ("raw", "base", "root")
 
-    def __init__(self, raw, base: str = ""):
+    def __init__(self, raw, base: str = "", root=None):
         self.raw = raw
         self.base = base
+        self.root = raw if root is None else root
 
 
 def _pointer(root, frag: str, uri: str):
@@ -176,20 +181,32 @@ class _Translator:
         if ctx.base:
             self.anchors.setdefault(ctx.base, ctx)
 
-        def walk(raw, base):
+        def walk(raw, base, root):
             if isinstance(raw, dict):
                 sid = raw.get("$id") or raw.get("id")
                 if isinstance(sid, str):
-                    absolute = urljoin(base, sid) if base else sid
-                    self.anchors.setdefault(absolute, _DocCtx(raw, absolute))
-                    base = absolute
+                    if sid.startswith("#"):
+                        # plain-name fragment: an anchor in the current
+                        # document — no base change, pointers still
+                        # resolve against the enclosing document
+                        absolute = (base + sid) if base else sid
+                        self.anchors.setdefault(
+                            absolute, _DocCtx(raw, base, root=root)
+                        )
+                    else:
+                        absolute = urljoin(base, sid) if base else sid
+                        self.anchors.setdefault(
+                            absolute, _DocCtx(raw, absolute)
+                        )
+                        base = absolute
+                        root = raw
                 for v in raw.values():
-                    walk(v, base)
+                    walk(v, base, root)
             elif isinstance(raw, list):
                 for v in raw:
-                    walk(v, base)
+                    walk(v, base, root)
 
-        walk(ctx.raw, ctx.base)
+        walk(ctx.raw, ctx.base, ctx.root)
 
     def resolve_raw(self, uri: str, ctx: _DocCtx | None = None):
         """Resolve a $ref URI against `ctx` (default: the root document)
@@ -202,7 +219,7 @@ class _Translator:
         if uri == "#":
             return ctx.raw, ctx, (uri if same_doc else ctx.base + "#")
         if uri.startswith("#/"):
-            raw = _pointer(ctx.raw, uri[1:], uri)
+            raw = _pointer(ctx.root, uri[1:], uri)
             return raw, ctx, (uri if same_doc else ctx.base + uri)
         full = urljoin(ctx.base, uri) if ctx.base else uri
         if full in self.anchors:
@@ -234,9 +251,10 @@ class _Translator:
             raise SchemaError(f"schema must be bool or object, got {type(raw)}")
 
         # a subschema's $id opens a new resolution scope for its
-        # children (draft-6 base-URI change)
+        # children (draft-6 base-URI change); a plain-name fragment
+        # ($id: "#foo") is only an anchor and changes nothing here
         sid = raw.get("$id") or raw.get("id")
-        if isinstance(sid, str) and raw is not ctx.raw:
+        if isinstance(sid, str) and raw is not ctx.raw and not sid.startswith("#"):
             from urllib.parse import urljoin
 
             new_base = urljoin(ctx.base, sid) if ctx.base else sid

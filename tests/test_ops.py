@@ -253,3 +253,30 @@ class TestMultimodal:
         frames = frame_sample_plan(media, every_ms=1000)
         rows = frames.collect()
         assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+
+
+class TestWinnowEdge:
+    def test_empty_and_tiny_docs_match_oracle(self, spark):
+        """Empty/whitespace-only/short docs: the Spark winnowing
+        fingerprint and the DuckDB oracle recipe must agree (the oracle
+        guards list_reduce against the empty gram slice)."""
+        import duckdb
+
+        from jvst_spark.ops.text import winnowing_fingerprint
+        from jvst_spark.queries import oracle_sql
+
+        rows = [(0, ""), (1, "   "), (2, "one"), (3, "one two"),
+                (4, "one two three four five six")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["winnow_fp"], r["n_grams"])
+               for r in winnowing_fingerprint(df).collect()}
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in rows)
+            + ") AS t(doc_id, text)"
+        )
+        sql = oracle_sql()["text_winnow_fingerprint"]
+        want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+        assert got == want

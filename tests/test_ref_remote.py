@@ -135,6 +135,32 @@ class TestRemoteRef:
         assert v(ok)
         assert not v(bad)
 
+    def test_fragment_id_is_anchor_not_base_change(self):
+        """$id: '#foo' is a location-independent anchor (draft-6 §9.2):
+        pointers inside the anchored subschema still resolve against
+        the enclosing document."""
+        schema = {
+            "definitions": {
+                "A": {
+                    "$id": "#foo",
+                    "properties": {"x": {"$ref": "#/definitions/B"}},
+                },
+                "B": {"type": "integer"},
+            },
+            "allOf": [{"$ref": "#/definitions/A"}],
+        }
+        v = _validator(schema, registry={})
+        assert v({"x": 1})
+        assert not v({"x": "s"})
+        # and the anchor itself is referenceable
+        v2 = _validator(
+            {"definitions": {"A": {"$id": "#foo", "type": "integer"}},
+             "$ref": "#foo"},
+            registry={},
+        )
+        assert v2(3)
+        assert not v2("x")
+
     def test_defs_keys_are_canonical_for_cross_doc_cycles(self):
         root, defs = translate_with_defs(
             {"$ref": "http://localhost:1234/selfref.json"},

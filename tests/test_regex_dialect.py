@@ -73,6 +73,20 @@ AGREEMENT_CASES = [
     (r"^a|b$", "xb\n", False),
     # unicode literal passthrough
     (r"^[а-я]+$", "дом", True),
+    # shorthand expansions must not glue onto a neighboring '-'
+    (r"[\w-.]", "-", True),
+    (r"[\w-.]", ",", False),
+    (r"[a-\d]", "-", True),
+    (r"[a-\d]", "5", True),
+    (r"[a-\d]", "b", False),
+    (r"[--0]", ".", True),  # genuine range '-'..'0'
+    (r"[--0]", "a", False),
+    (r"[a-z-x]", "-", True),
+    # surrogate pair = one astral code point on every engine
+    ("\\uD83D\\uDE00", "x\U0001F600y", True),
+    ("\\uD83D\\uDE00", "xy", False),
+    # named group with '_' (Java would reject the name; rendered (?:)
+    (r"(?<my_name>ab)+", "abab", True),
 ]
 
 REJECTED = [
@@ -91,6 +105,8 @@ REJECTED = [
     r"a{3,1}",  # reversed bounds
     "a\\",  # trailing backslash
     r"[\D]",  # negated shorthand inside class
+    r"[z-a]",  # reversed class range
+    "\\uD83Dx", "\\uDE00",  # lone surrogates
 ]
 
 
