@@ -185,6 +185,101 @@ class TestFastPathParity:
         assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
         assert not mismatches, mismatches[:10]
 
+    def test_fuzz_random_specs_match_pyeval(self, spark):
+        """Seeded fuzz: random supported-spec shapes x random documents
+        (typed, mistyped, edge numerics, extra keys, malformed text) —
+        the fast path and pyeval must agree on every verdict."""
+        import random
+
+        rng = random.Random(20260816)
+        KEYS = ["a", "b", "k", "meta", "n1"]
+
+        def scalar_spec():
+            return rng.choice([
+                {"type": "integer", "minimum": rng.randint(-5, 0),
+                 "maximum": rng.randint(1, 9)},
+                {"type": "number", "multipleOf": rng.choice([0.5, 2, 0.01])},
+                {"type": "string", "minLength": rng.randint(0, 2),
+                 "maxLength": rng.randint(3, 6)},
+                {"type": "string", "pattern": rng.choice(["^a", "[0-9]$", "x"])},
+                {"type": "boolean"},
+                {"enum": rng.sample([1, 2.5, "x", "y", True, None], 3)},
+                {"type": "array", "minItems": rng.randint(0, 2),
+                 "maxItems": rng.randint(2, 4)},
+            ])
+
+        def obj_spec(depth):
+            props = {}
+            for key in rng.sample(KEYS, rng.randint(1, 3)):
+                if depth > 0 and rng.random() < 0.3:
+                    props[key] = obj_spec(depth - 1)
+                else:
+                    props[key] = scalar_spec()
+            out = {"type": "object", "properties": props}
+            if rng.random() < 0.5:
+                out["required"] = rng.sample(
+                    list(props), rng.randint(1, len(props))
+                )
+            if rng.random() < 0.4:
+                out["additionalProperties"] = False
+            if rng.random() < 0.3:
+                out["minProperties"] = rng.randint(0, 2)
+            return out
+
+        def value(depth):
+            r = rng.random()
+            if r < 0.12:
+                return rng.randint(-8, 10)
+            if r < 0.22:
+                return rng.choice([0.5, 2.0, 2.5, -1.25, 1e308, 1e309])
+            if r < 0.3:
+                return rng.choice(["", "a", "ax", "x9", "abcdefg", "٣٤"])
+            if r < 0.36:
+                return rng.choice([True, False, None])
+            if r < 0.45:
+                return [value(0) for _ in range(rng.randint(0, 4))]
+            d = {}
+            for key in rng.sample(KEYS + ["zz"], rng.randint(0, 4)):
+                d[key] = value(depth - 1) if depth > 0 else rng.randint(0, 5)
+            return d
+
+        for trial in range(20):
+            schema = obj_spec(1)
+            spec = compile_schema(schema)
+            fast = try_lower(spec)
+            if fast is None:
+                continue
+            pyv = compile_python(spec.root, spec.defs)
+            docs = [json.dumps(value(2)) for _ in range(30)]
+            docs += ['{"a":', "7", "null", '"s"', "[1]"]
+            df = spark.createDataFrame(
+                [(str(i), d) for i, d in enumerate(docs)],
+                ["doc_id", "body"],
+            )
+            got = {
+                int(r["doc_id"]): r["v"]
+                for r in df.select(
+                    "doc_id",
+                    F.coalesce(fast(F.col("body")), F.lit(False)).alias("v"),
+                ).collect()
+            }
+            from jvst_spark.compiler.plan import _bad_const, _no_dup_pairs
+
+            for i, d in enumerate(docs):
+                try:
+                    # engine strictness: json.dumps renders inf as the
+                    # non-standard 'Infinity', which every backend
+                    # rejects as invalid JSON
+                    doc = json.loads(
+                        d,
+                        parse_constant=_bad_const,
+                        object_pairs_hook=_no_dup_pairs,
+                    )
+                    want = pyv(doc)
+                except ValueError:
+                    want = False
+                assert got[i] == want, (schema, d, got[i], want)
+
     def test_verdict_plan_has_no_python(self, spark):
         plan = ValidationPlan(compile_schema(PROPS_SPEC))
         df = spark.createDataFrame([("a", "{}")], ["doc_id", "body"])
