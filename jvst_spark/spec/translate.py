@@ -109,6 +109,18 @@ def _and(*terms: Node) -> Node:
     return And(ts)
 
 
+# Draft-6 keyword slots whose values are subschemas — the only
+# positions where an $id opens a resolution scope. (`items` and
+# `dependencies` are handled separately: their schema-ness depends on
+# the value's shape.)
+_SUBSCHEMA_SINGLE = frozenset(
+    ("additionalProperties", "additionalItems", "not", "propertyNames",
+     "contains")
+)
+_SUBSCHEMA_MAP = frozenset(("properties", "patternProperties", "definitions"))
+_SUBSCHEMA_LIST = frozenset(("allOf", "anyOf", "oneOf"))
+
+
 class _DocCtx:
     """A $ref resolution scope: a raw (sub)schema rooted at a base URI.
     Every schema document and every $id-bearing subschema opens one —
@@ -176,35 +188,63 @@ class _Translator:
             self._index_doc(ctx)
 
     def _index_doc(self, ctx: _DocCtx):
+        """Register every $id anchor reachable through SCHEMA positions.
+
+        Only dicts sitting in a known subschema slot open an $id scope.
+        Data-carrying keywords (enum/const/default/examples) and unknown
+        keywords are opaque values: an '$id' string inside them is data,
+        not an identifier (draft-6 §9.2; the official suite's "$id
+        inside an enum is not a real identifier" trap; the reference's
+        id table likewise only indexes schema nodes, src/idtbl.h:11-89).
+        """
         from urllib.parse import urljoin
 
         if ctx.base:
             self.anchors.setdefault(ctx.base, ctx)
 
         def walk(raw, base, root):
-            if isinstance(raw, dict):
-                sid = raw.get("$id") or raw.get("id")
-                if isinstance(sid, str):
-                    if sid.startswith("#"):
-                        # plain-name fragment: an anchor in the current
-                        # document — no base change, pointers still
-                        # resolve against the enclosing document
-                        absolute = (base + sid) if base else sid
-                        self.anchors.setdefault(
-                            absolute, _DocCtx(raw, base, root=root)
-                        )
-                    else:
-                        absolute = urljoin(base, sid) if base else sid
-                        self.anchors.setdefault(
-                            absolute, _DocCtx(raw, absolute)
-                        )
-                        base = absolute
-                        root = raw
-                for v in raw.values():
+            # `raw` is always a schema position here; booleans carry
+            # no $id and no children
+            if not isinstance(raw, dict):
+                return
+            sid = raw.get("$id") or raw.get("id")
+            if isinstance(sid, str):
+                if sid.startswith("#"):
+                    # plain-name fragment: an anchor in the current
+                    # document — no base change, pointers still
+                    # resolve against the enclosing document
+                    absolute = (base + sid) if base else sid
+                    self.anchors.setdefault(
+                        absolute, _DocCtx(raw, base, root=root)
+                    )
+                else:
+                    absolute = urljoin(base, sid) if base else sid
+                    self.anchors.setdefault(
+                        absolute, _DocCtx(raw, absolute)
+                    )
+                    base = absolute
+                    root = raw
+            for key, v in raw.items():
+                if key in _SUBSCHEMA_SINGLE and isinstance(v, dict):
                     walk(v, base, root)
-            elif isinstance(raw, list):
-                for v in raw:
-                    walk(v, base, root)
+                elif key == "items":
+                    if isinstance(v, dict):
+                        walk(v, base, root)
+                    elif isinstance(v, list):
+                        for sub in v:
+                            walk(sub, base, root)
+                elif key in _SUBSCHEMA_MAP and isinstance(v, dict):
+                    for sub in v.values():
+                        walk(sub, base, root)
+                elif key in _SUBSCHEMA_LIST and isinstance(v, list):
+                    for sub in v:
+                        walk(sub, base, root)
+                elif key == "dependencies" and isinstance(v, dict):
+                    # schema-form dependency values are subschemas;
+                    # array-form values are property-name lists (data)
+                    for sub in v.values():
+                        if isinstance(sub, dict):
+                            walk(sub, base, root)
 
         walk(ctx.raw, ctx.base, ctx.root)
 

@@ -183,3 +183,106 @@ class TestRemoteRef:
         assert v(1)
         assert v([[1, 2], 3])
         assert not v([["a"]])
+
+
+class TestIdInDataPositions:
+    """$id strings inside data-carrying keywords are data, not
+    identifiers (official suite: '$id inside an enum is not a real
+    identifier'; the reference's id table only indexes schema
+    positions, src/idtbl.h:11-89)."""
+
+    def test_id_inside_enum_is_not_an_identifier(self):
+        # official draft-6 id.json case: the enum value LOOKS like a
+        # schema with an $id, but must never be resolvable
+        schema = {
+            "definitions": {
+                "id_in_enum": {
+                    "enum": [{"$id": "https://localhost:1234/my_identifier.json",
+                              "type": "null"}]
+                },
+                "real_id_in_schema": {
+                    "$id": "https://localhost:1234/my_identifier.json",
+                    "type": "string",
+                },
+                "zzz_id_in_const": {
+                    "const": {"$id": "https://localhost:1234/my_identifier.json",
+                              "type": "null"}
+                },
+            },
+            "anyOf": [
+                {"$ref": "#/definitions/id_in_enum"},
+                {"$ref": "https://localhost:1234/my_identifier.json"},
+            ],
+        }
+        v = _validator(schema, registry={})
+        # exact enum match → valid via the first arm
+        assert v({"$id": "https://localhost:1234/my_identifier.json",
+                  "type": "null"})
+        # string matches the REAL $id schema, not the enum data
+        assert v("a string to match #/definitions/real_id_in_schema")
+        assert not v(1)
+
+    def test_enum_id_does_not_shadow_real_definition(self):
+        # ADVICE repro: a data dict inside enum used to register its
+        # $id and (dict-order-dependent) shadow the real schema
+        schema = {
+            "definitions": {
+                "bad": {"enum": [{"$id": "https://x/real", "type": "string"}]},
+                "good": {"$id": "https://x/real", "type": "integer"},
+            },
+            "$ref": "https://x/real",
+        }
+        v = _validator(schema, registry={})
+        assert v(3)
+        assert not v("s")
+
+    def test_id_only_in_data_is_unresolvable(self):
+        for kw, val in (
+            ("enum", [{"$id": "https://x/only-data", "type": "string"}]),
+            ("const", {"$id": "https://x/only-data", "type": "string"}),
+            ("default", {"$id": "https://x/only-data"}),
+            ("examples", [{"$id": "https://x/only-data"}]),
+        ):
+            schema = {
+                "definitions": {"d": {kw: val}},
+                "$ref": "https://x/only-data",
+            }
+            with pytest.raises(SchemaError):
+                _validator(schema, registry={})
+
+    def test_id_in_unknown_keyword_is_not_an_identifier(self):
+        schema = {
+            "definitions": {
+                "d": {"x-vendor": {"$id": "https://x/unknown-kw"}}
+            },
+            "$ref": "https://x/unknown-kw",
+        }
+        with pytest.raises(SchemaError):
+            _validator(schema, registry={})
+
+    def test_dependencies_array_form_values_are_data(self):
+        # array-form dependencies hold property names, never schemas
+        schema = {
+            "definitions": {
+                "d": {"dependencies": {"a": ["b"]}},
+            },
+            "$ref": "https://x/dep-data",
+        }
+        with pytest.raises(SchemaError):
+            _validator(schema, registry={})
+
+    def test_schema_form_dependencies_still_open_id_scope(self):
+        schema = {
+            "definitions": {
+                "d": {
+                    "dependencies": {
+                        "a": {"$id": "https://x/dep-schema",
+                              "properties": {"b": {"type": "integer"}}}
+                    }
+                }
+            },
+            "$ref": "https://x/dep-schema",
+        }
+        v = _validator(schema, registry={})
+        assert v({"b": 1})
+        assert not v({"b": "s"})
