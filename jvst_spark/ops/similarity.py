@@ -212,25 +212,62 @@ def ivf_assign(
     cosine (rounded to 6 so the DuckDB oracle tie-breaks identically;
     ties broken by centroid id). The centroid table broadcasts; the
     corpus streams once — C dot products per row, map-side only."""
-    from pyspark.sql import Window
-
-    c = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    # All C centroids (with precomputed norms) collapse into ONE
+    # broadcast row holding array<struct<cid,cv,cn>>; each corpus row
+    # then scores/sorts/slices that array entirely map-side. The
+    # previous Window.partitionBy(vid) + row_number plan shuffled the
+    # full n×C scored expansion just to take a per-vector top-n_probes
+    # — the only avoidable wide stage in the IVF plan (round-2 weak
+    # item). Now the corpus never shuffles here at all.
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                norm_expr(F.col(vec_col)).alias("cn"),
+            )
+        ).alias("cents")
     )
-    scored = (
+    # explode(array()) Generate barrier: evaluate the row's own norm
+    # once, not once per centroid inside the transform lambda
+    base = (
         df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(cents))
         .select(
-            "vid",
-            "cid",
-            F.round(cosine_expr(F.col("v"), F.col("cv")), 6).alias("s"),
+            "vid", "v", "cents",
+            F.explode(F.array(norm_expr(F.col("v")))).alias("vn"),
         )
     )
-    w = Window.partitionBy("vid").orderBy(F.col("s").desc(), F.col("cid"))
+    scored_arr = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            # same ops in the same order as round(cosine_expr(v, cv), 6)
+            F.round(
+                dot_expr(F.col("v"), ct["cv"]) / (F.col("vn") * ct["cn"]), 6
+            ).alias("s"),
+            ct["cid"].alias("cid"),
+        ),
+    )
+    top = F.slice(
+        F.array_sort(
+            scored_arr,
+            # sim desc, centroid id asc — the window's exact tie-break
+            lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+            .when(l["s"] < r["s"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .when(l["cid"] > r["cid"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
+        n_probes,
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probes)
-        .select("vid", "cid", "rn")
+        base.select("vid", F.posexplode(top).alias("pos", "t"))
+        .select(
+            "vid",
+            F.col("t.cid").alias("cid"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
     )
 
 
@@ -338,15 +375,40 @@ def _bucket_sql(vec_sql: str, dim: int, n_planes: int, table: int) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+def _bucket_col(vec: Column, dim: int, n_planes: int, table: int) -> Column:
+    """Column-API twin of _bucket_sql for callers that hold a Column
+    rather than a name. Plane literals still enter as ONE parsed
+    F.expr array each (n_planes py4j calls total, not dim×n_planes),
+    and the fold is the same left-to-right double accumulation."""
+    bits = []
+    for pl in _hyperplanes(dim, n_planes, table):
+        arr = F.expr("array(" + ",".join(f"{v!r}D" for v in pl) + ")")
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def lsh_bucket_expr(
     vec, dim: int, n_planes: int = 12, table: int = 0
 ) -> Column:
-    """Random-hyperplane LSH bucket id for a column NAME (sign-bit
-    string; same accumulation order as the Column-API fold and the
-    DuckDB oracle)."""
-    if not isinstance(vec, str):
-        raise TypeError("lsh_bucket_expr takes a column name")
-    return F.expr(_bucket_sql(f"`{vec}`", dim, n_planes, table))
+    """Random-hyperplane LSH bucket id (sign-bit string; same
+    accumulation order as the DuckDB oracle). Accepts either a column
+    NAME (fast path: the whole expression parses as one SQL string —
+    thousands fewer py4j calls) or a Column (built via per-plane
+    F.expr literals). Embedded backticks in names are escaped by
+    doubling per Spark identifier-quoting rules."""
+    if isinstance(vec, str):
+        quoted = "`" + vec.replace("`", "``") + "`"
+        return F.expr(_bucket_sql(quoted, dim, n_planes, table))
+    if isinstance(vec, Column):
+        return _bucket_col(vec, dim, n_planes, table)
+    raise TypeError(
+        f"lsh_bucket_expr takes a column name or Column, got {type(vec)}"
+    )
 
 
 def lsh_ann_topk(

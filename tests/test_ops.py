@@ -140,6 +140,70 @@ class TestSimilarity:
         for r in approx:
             assert abs(sims[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
 
+    def test_ivf_assign_matches_window_reference_and_is_shuffle_free(
+        self, spark, emb
+    ):
+        """ivf_assign must equal the straightforward window top-n (the
+        round-2 implementation) while its plan carries NO hash-partition
+        Exchange: the corpus scores/sorts the broadcast centroid array
+        map-side (the only Exchanges left are the single-row centroid
+        collect_list and the broadcast itself)."""
+        from pyspark.sql import Window
+
+        from jvst_spark.ops.similarity import cosine_expr, ivf_assign
+
+        cents = emb.filter("vec_id % 97 = 0")
+        got = ivf_assign(emb, cents, n_probes=2)
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan
+
+        ref = (
+            emb.selectExpr("vec_id as vid", "embedding as v")
+            .crossJoin(
+                F.broadcast(
+                    cents.selectExpr("vec_id as cid", "embedding as cv")
+                )
+            )
+            .select(
+                "vid",
+                "cid",
+                F.round(cosine_expr(F.col("v"), F.col("cv")), 6).alias("s"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vid").orderBy(
+                        F.col("s").desc(), F.col("cid")
+                    )
+                ),
+            )
+            .filter("rn <= 2")
+            .select("vid", "cid", "rn")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    def test_lsh_bucket_expr_column_and_name_forms_agree(self, spark, emb):
+        from jvst_spark.ops.similarity import lsh_bucket_expr
+
+        dim = len(emb.first()["embedding"])
+        both = emb.select(
+            lsh_bucket_expr("embedding", dim, 6, 3).alias("by_name"),
+            lsh_bucket_expr(F.col("embedding"), dim, 6, 3).alias("by_col"),
+        )
+        assert both.filter("by_name != by_col").count() == 0
+        # names with embedded backticks quote correctly (doubled)
+        weird = emb.select(F.col("embedding").alias("em`b"))
+        a = weird.select(lsh_bucket_expr("em`b", dim, 4, 0).alias("b")).first()
+        b = weird.select(
+            lsh_bucket_expr(F.col("`em``b`"), dim, 4, 0).alias("b")
+        ).first()
+        assert a["b"] == b["b"]
+        with pytest.raises(TypeError):
+            lsh_bucket_expr(123, dim)
+
     def test_brute_force_topk_sanity(self, spark, emb):
         from jvst_spark.ops.similarity import brute_force_topk
 
