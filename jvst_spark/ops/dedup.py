@@ -294,12 +294,25 @@ def simhash_signatures_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: signatures split into 4
     16-bit chunks; pairs sharing a chunk are candidates (pigeonhole:
-    hamming <= 3 over 4 chunks => one chunk equal); verify hamming."""
-    sig = simhash_signatures(df, text_col)
+    hamming <= 3 over 4 chunks => one chunk equal); verify hamming.
+
+    `signatures` lets callers supply a precomputed (doc_id, simhash)
+    frame (e.g. simhash_signatures_fast — bit-identical, Arrow-batched).
+    The chunk frame is cached like lsh_candidate_pairs' bands: the
+    self-join would otherwise evaluate the whole explode+signature
+    subtree once per side."""
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, text_col)
+    )
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -314,7 +327,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key")).cache()
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

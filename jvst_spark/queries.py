@@ -771,6 +771,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_simhash_pairs",
+    f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+tt AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM tt),
+bits AS (SELECT doc_id, b,
+    CASE WHEN ((strpos('0123456789abcdef',
+                       substr(hx, (b // 4) + 1, 1)) - 1)
+               >> (3 - (b % 4))) & 1 = 1
+         THEN 1 ELSE -1 END AS v
+    FROM h, (SELECT unnest(range(0, 64)) AS b)),
+s AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+      FROM bits GROUP BY doc_id, b),
+sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+        FROM s GROUP BY doc_id),
+ch AS (SELECT doc_id, simhash, c AS chunk,
+              substr(simhash, c * 16 + 1, 16) AS key
+       FROM sig, (SELECT unnest(range(0, 4)) AS c)),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                l.simhash AS sig_a, r.simhash AS sig_b
+         FROM ch l JOIN ch r
+           ON l.chunk = r.chunk AND l.key = r.key
+          AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b,
+       len(list_filter(range(1, 65),
+           i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65),
+          i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-pairs: 4x16-bit pigeonhole chunks, pairs
+    sharing a chunk verified by exact hamming <= 3. The only shuffle
+    is the chunk-key equality join; the cached chunk frame keeps the
+    signature pipeline single-evaluation across the self-join."""
+    from jvst_spark.ops.dedup import (
+        simhash_near_pairs,
+        simhash_signatures_fast,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    return simhash_near_pairs(
+        corpus, max_hamming=3, signatures=simhash_signatures_fast(corpus)
+    )
+
+
 # ---------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------
