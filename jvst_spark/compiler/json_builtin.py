@@ -17,8 +17,11 @@ only absent):
 - number arm:  NumRange / NumInteger / NumMultipleOf (+combinators)
 - string arm:  StrLength / StrMatch (+combinators)
 - null / boolean arms: Valid / Invalid (+scalar enums)
-- array arms: min/maxItems via json_array_length (items/contains/
-  uniqueItems stay on pyeval)
+- array arms at ANY depth via cast-to-array<variant> + higher-order
+  functions: min/maxItems, items/additionalItems (elements recurse
+  through the full value lowering — arrays of objects included),
+  contains, uniqueItems (canonicalized element text: to_json's sorted
+  keys + every number token rewritten through double)
 - scalar EnumMatch at value level
 - object arms at ANY depth (subtree text via get_json_object feeds
   json_object_keys): ObjRequired, PropRange, ObjPropNames (string
@@ -137,6 +140,21 @@ class _Value:
             raise _Unsupported("object keys unavailable at this path")
         return F.array_distinct(F.json_object_keys(self.text))
 
+    def elems(self) -> Column:
+        """The value as array<variant> (NULL when not an array) — the
+        element axis for items/contains/uniqueItems. Each element is a
+        full variant, so element checks recurse through _lower_value
+        with no depth limit on the SPEC side."""
+        return F.try_variant_get(self._v, self._path, "array<variant>")
+
+    @staticmethod
+    def of_element(e: Column) -> "_Value":
+        """Wrap one array element (a variant lambda variable) as a
+        root-path value. to_json(e) supplies subtree text (sorted keys,
+        control chars escaped — verified against PySpark 4.1), so
+        nested object checks inside array elements stay JVM-side."""
+        return _Value(e, "$", text=F.to_json(e))
+
 
 def _boolish(node: Node, leaf) -> Column:
     """Combinator recursion shared by every arm; `leaf` lowers the
@@ -206,17 +224,115 @@ def _number_checks(node: Node, d: Column) -> Column:
     return _boolish(node, leaf)
 
 
+# JSON-text tokenizer: group 1 = a string literal (protects quoted
+# content from the number branch; Java alternation is leftmost-first),
+# group 2 = a number token. Safe on to_json output specifically:
+# strings there have control chars escaped, so the \x01 sentinels the
+# canonicalizer injects can never collide with document content.
+_JSON_STR_OR_NUM = (
+    r'("(?:[^"\\]|\\.)*")'
+    r"|(-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+)
+
+
+def _canon_elem_text(e: Column) -> Column:
+    """Canonical text of one array element for uniqueItems equality.
+
+    to_json(variant) already yields sorted object keys and normalized
+    decimals; the remaining inequality between textually-different but
+    numerically-equal tokens (1e30 vs 10...0 stored DECIMAL, variant
+    DOUBLE vs DECIMAL prints) is removed by rewriting EVERY number
+    token — at any nesting depth — to its double's canonical string:
+    mark number tokens with \\x01 sentinels (strings are protected by
+    the group-1 alternation), split, cast odd slots through double,
+    rejoin. Equality of the result matches pyeval's canonicalize()
+    ('all numbers compared as doubles', the reference's UEM recipe,
+    src/validate_uniq.c:219-355), because string->double parsing is
+    correctly-rounded IEEE on both engines and double->string is
+    injective on both.
+
+    Known divergence (documented, tested): a decimal-form negative
+    zero token ('-0.0', '-0.00') loses its sign inside parse_json
+    itself (variant stores it as DECIMAL 0) before this code runs, so
+    under uniqueItems the fast path sees it equal to 0 while
+    pyeval/the reference keep the bit patterns distinct
+    (XXH64-over-bytes hashing, src/validate_uniq.c:43). '-0' (both
+    engines drop the sign: int has no -0) and exponent forms
+    '-0.0e2' (both keep it: variant stores DOUBLE) agree."""
+    marked = F.regexp_replace(
+        F.to_json(e), _JSON_STR_OR_NUM, "$1\x01$2\x01"
+    )
+    parts = F.split(marked, "\x01", -1)
+    norm = F.transform(
+        parts,
+        lambda p, i: F.when(
+            (i % 2 == 1) & (p != ""), p.cast("double").cast("string")
+        ).otherwise(p),
+    )
+    return F.array_join(norm, "")
+
+
+def _elem_cond(sub: Node, e: Column) -> Column:
+    """One element's verdict under subschema `sub` (null-safe)."""
+    return F.coalesce(_lower_value(sub, _Value.of_element(e)), _F())
+
+
+def _arr_items_cond(n: ArrItems, arr: Column) -> Column:
+    """items/additionalItems: positional prefixes check index-matched
+    subschemas; the tail (or the whole array for single-form items)
+    checks `additional`. One transform + forall — per-element work
+    only, no explode/shuffle."""
+    if not n.positional:
+        if isinstance(n.additional, Valid):
+            return _T()
+        conds = F.transform(arr, lambda e: _elem_cond(n.additional, e))
+    else:
+        k = len(n.positional)
+
+        def per(e: Column, i: Column) -> Column:
+            c = (
+                _T()
+                if isinstance(n.additional, Valid)
+                else _elem_cond(n.additional, e)
+            )
+            for idx in range(k - 1, -1, -1):
+                c = F.when(
+                    i == F.lit(idx), _elem_cond(n.positional[idx], e)
+                ).otherwise(c)
+            return c
+
+        conds = F.transform(arr, per)
+    return F.forall(conds, lambda b: b)
+
+
 def _array_checks(node: Node, val: _Value) -> Column:
-    """Array-arm leaves: min/maxItems via json_array_length over the
-    subtree text (items/contains/uniqueItems stay on pyeval)."""
+    """Array-arm leaves over the array<variant> element axis:
+    min/maxItems, items/additionalItems (full subschema recursion via
+    _lower_value — nested objects/arrays included), contains, and
+    uniqueItems via canonicalized element text."""
 
     def leaf(n: Node) -> Column:
-        if isinstance(n, ItemRange) and val.text is not None:
-            ln = F.json_array_length(val.text)
+        if isinstance(n, ItemRange):
+            # json_array_length over subtree text when available (no
+            # variant re-walk); element-axis size otherwise
+            ln = (
+                F.json_array_length(val.text)
+                if val.text is not None
+                else F.size(val.elems())
+            )
             c = ln >= F.lit(n.lo)
             if n.hi is not None:
                 c = c & (ln <= F.lit(n.hi))
             return c
+        if isinstance(n, ArrItems):
+            return _arr_items_cond(n, val.elems())
+        if isinstance(n, ArrContains):
+            return F.exists(val.elems(), lambda e: _elem_cond(n.schema, e))
+        if isinstance(n, ArrUnique):
+            arr = val.elems()
+            return F.size(arr) == F.size(
+                F.array_distinct(F.transform(arr, _canon_elem_text))
+            )
         raise _Unsupported(f"array leaf {type(n).__name__}")
 
     return _boolish(node, leaf)
@@ -451,6 +567,15 @@ def _chk_trivial(node: Node, arm: str) -> None:
 def _chk_array(node: Node) -> None:
     def leaf(n):
         if isinstance(n, ItemRange):
+            return
+        if isinstance(n, ArrItems):
+            for s in n.positional:
+                _chk_value(s)
+            _chk_value(n.additional)
+            return
+        if isinstance(n, ArrContains):
+            return _chk_value(n.schema)
+        if isinstance(n, ArrUnique):
             return
         raise _Unsupported(f"array leaf {type(n).__name__}")
 

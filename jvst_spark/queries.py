@@ -307,6 +307,82 @@ def val_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# array-keyword dynamic JSON: documents carry an array of tag objects;
+# the spec exercises every array keyword the round-3 fast path lowers
+# (minItems/maxItems, object-subschema items, contains, uniqueItems)
+# so the whole verdict stays on JVM Columns. Injected violations:
+# a duplicated element on id%11 (uniqueItems), a negative weight on
+# id%13 (items' minimum), and naturally-occurring contains failures
+# when both tag ids land above 49.
+_ARRAY_SPEC = {
+    "type": "object",
+    "required": ["tags"],
+    "additionalProperties": False,
+    "properties": {
+        "tags": {
+            "type": "array",
+            "minItems": 1,
+            "maxItems": 4,
+            "uniqueItems": True,
+            "items": {
+                "type": "object",
+                "required": ["id"],
+                "additionalProperties": False,
+                "properties": {
+                    "id": {"type": "integer", "minimum": 0, "maximum": 99},
+                    "w": {"type": "number", "minimum": 0},
+                },
+            },
+            "contains": {"properties": {"id": {"maximum": 49}}},
+        },
+    },
+}
+
+
+@query(
+    "val_json_array",
+    """
+SELECT event_id AS doc_id,
+       coalesce(
+         event_id % 11 != 0
+         AND (value * (CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END)) >= 0
+         AND (value / 2) >= 0
+         AND ((event_id % 100) <= 49 OR ((event_id * 7 + 3) % 100) <= 49),
+         FALSE) AS valid
+FROM events
+""",
+)
+def val_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-keyword dynamic-JSON validation entirely on the JVM
+    variant fast path (items/contains/uniqueItems/min-maxItems over
+    array<variant> — no Python node in the verdict plan). Documents
+    are built deterministically from events; tag ids never collide
+    between the two base elements (6e+3 is odd, 100 even), so the only
+    duplicates are the injected ones."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sign = F.when(F.col("event_id") % 13 == 0, F.lit(-1.0)).otherwise(
+        F.lit(1.0)
+    )
+    e1 = F.struct(
+        (F.col("event_id") % 100).alias("id"),
+        (F.col("value") * sign).alias("w"),
+    )
+    e2 = F.struct(
+        ((F.col("event_id") * 7 + 3) % 100).alias("id"),
+        (F.col("value") / 2).alias("w"),
+    )
+    tags = F.when(
+        F.col("event_id") % 11 == 0, F.array(e1, e2, e1)
+    ).otherwise(F.array(e1, e2))
+    df = ev.select(
+        "event_id", F.to_json(F.struct(tags.alias("tags"))).alias("body")
+    )
+    plan = ValidationPlan(compile_schema(_ARRAY_SPEC))
+    return plan.apply_json(df, "body", id_col="event_id").verdicts().select(
+        "doc_id", "valid"
+    )
+
+
 # ---------------------------------------------------------------------
 # table-level checks (ops 41-43)
 # ---------------------------------------------------------------------

@@ -380,6 +380,10 @@ def canonicalize(value) -> str:
             d = math.inf if value > 0 else -math.inf
         if math.isnan(d):
             return "n:nan"
+        # NOTE: -0.0 stays distinct from 0.0 — the reference's UEM
+        # hashes the raw entry bytes (XXH64 over the double,
+        # src/validate_uniq.c:43), so the bit patterns land in
+        # different buckets and never compare equal
         return f"n:{d!r}"
     if isinstance(value, str):
         # length prefix keeps the serialization injective (the
