@@ -63,6 +63,30 @@ class TestCheckpointedValidation:
         assert out.count() == 500
         assert out.select("doc_id").distinct().count() == 500
 
+    def test_fresh_run_is_one_pass(self, spark, plan, tmp_path):
+        """Round-2 weak item: a fresh run used to rescan the input once
+        per bucket (n_buckets full scans). Now all pending buckets are
+        written in ONE partitionBy job + ONE stats aggregation: with 4
+        buckets the run must stay within a handful of jobs (the old
+        shape was >= 2 jobs x 4 buckets; allow slack for AQE sub-jobs
+        and parquet footer listing)."""
+        df = spans_from_documents(spark, SF_DIR)
+        ck = CheckpointedValidation(plan, str(tmp_path), n_buckets=4)
+        sc = spark.sparkContext
+        sc.setJobGroup("manifest-one-pass", "fresh run", False)
+        try:
+            r = ck.run(df, input_fingerprint="fp-1")
+        finally:
+            sc.setJobGroup(None, None, False)
+        assert [b.skipped for b in r] == [False] * 4
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "manifest-one-pass"
+        )
+        assert 0 < len(jobs) <= 6, (
+            f"{len(jobs)} jobs for a 4-bucket fresh run — "
+            "per-bucket rescans are back?"
+        )
+
     def test_spec_hash_stable(self):
         a = spec_hash(compile_schema(FLAGSHIP_SPEC).__class__(
             compile_schema(FLAGSHIP_SPEC).root,
