@@ -1,0 +1,38 @@
+"""PLANS.md completeness gate.
+
+The plan audit is the repo's anti-regression net for physical-plan
+shape; round 2 showed it silently skipping newly-added queries, so
+this pins: every queries() entry has an audited section (and no
+section refers to a removed query). When this fails, run
+`python scripts/plan_audit.py` to regenerate.
+"""
+
+import os
+import re
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_plans_md_covers_every_query_exactly():
+    import jvst_spark.queries as q
+
+    with open(os.path.join(REPO_ROOT, "PLANS.md")) as f:
+        text = f.read()
+    sections = set(re.findall(r"^## (\S+)", text, re.M))
+    expected = set(q.queries())
+    missing = sorted(expected - sections)
+    stale = sorted(sections - expected)
+    assert not missing, (
+        f"PLANS.md is stale (missing {missing}) — "
+        "run scripts/plan_audit.py"
+    )
+    assert not stale, (
+        f"PLANS.md has sections for removed queries {stale} — "
+        "run scripts/plan_audit.py"
+    )
+
+
+def test_plans_md_has_no_error_sections():
+    with open(os.path.join(REPO_ROOT, "PLANS.md")) as f:
+        text = f.read()
+    assert "PLAN ERROR" not in text
