@@ -271,6 +271,41 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 32,
+    max_iter: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learned IVF centroids via Spark ML KMeans (distributed Lloyd:
+    each iteration is one corpus scan with map-side partial sums;
+    only the k centers — a tiny dim table, exactly what ivf_assign
+    broadcasts anyway — ever live on the driver). Seeded k-means||
+    init keeps runs reproducible. Returns a (id_col, vec_col) frame
+    with synthetic centroid ids 0..k-1 that feeds the UNCHANGED IVF
+    plan; stride sampling remains the deterministic oracle variant."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, f"{id_col} bigint, {vec_col} array<double>"
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -279,6 +314,7 @@ def ivf_ann_topk(
     centroid_stride: int = 97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: deterministic centroids (every
     `centroid_stride`-th vector), corpus vectors assigned to their
@@ -288,9 +324,12 @@ def ivf_ann_topk(
     The 100 TB shape: centroids broadcast (tiny dim table), assignment
     is one corpus scan with map-side dot products, the candidate join
     shuffles only (cid) cell keys — never all-pairs; skewed cells are
-    AQE-split. A production deployment swaps the stride centroids for
-    k-means centroids with the identical plan."""
-    cents = emb.filter(F.col(id_col) % centroid_stride == 0)
+    AQE-split. Pass `centroids` (e.g. kmeans_centroids) to swap the
+    stride seeding for learned cells — the plan is identical."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = emb.filter(F.col(id_col) % centroid_stride == 0)
     if cents.isEmpty():
         raise ValueError(
             f"ivf_ann_topk: no centroids (no {id_col} divisible by "

@@ -185,6 +185,57 @@ class TestSimilarity:
             map(tuple, ref.collect())
         )
 
+    def test_kmeans_centroids_beat_stride_on_clustered_corpus(self, spark):
+        """On genuinely clustered data, learned centroids must make the
+        IVF recall story real: k-means cells align with the clusters,
+        so n_probes=2 recovers nearly all true neighbors, while stride
+        'centroids' (arbitrary data points) fragment clusters across
+        cells. Everything is seeded — data, k-means|| init — so this
+        is deterministic."""
+        import numpy as np
+
+        from jvst_spark.ops.similarity import (
+            brute_force_topk,
+            ivf_ann_topk,
+            kmeans_centroids,
+        )
+
+        rng = np.random.default_rng(42)
+        dim, n_clusters, per = 16, 8, 60
+        centers = rng.normal(0, 1, (n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows, vid = [], 0
+        for ci in range(n_clusters):
+            pts = centers[ci] * 10 + rng.normal(0, 0.5, (per, dim))
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).cache()
+        queries = emb.filter("vec_id % 37 = 0")
+        exact_set = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+
+        def recall(approx):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in approx.collect()
+            }
+            return len(got & exact_set) / len(exact_set)
+
+        stride_recall = recall(
+            ivf_ann_topk(emb, queries, k=5, n_probes=2, centroid_stride=29)
+        )
+        km = kmeans_centroids(emb, k=n_clusters, seed=7)
+        km_recall = recall(
+            ivf_ann_topk(emb, queries, k=5, n_probes=2, centroids=km)
+        )
+        assert km_recall >= stride_recall, (km_recall, stride_recall)
+        assert km_recall >= 0.85, km_recall
+
     def test_lsh_bucket_expr_column_and_name_forms_agree(self, spark, emb):
         from jvst_spark.ops.similarity import lsh_bucket_expr
 
