@@ -11,11 +11,13 @@ one numpy cumsum pass.
 
 Supported subset (supports() reports honestly; ValidationPlan falls
 back to the Column path otherwise): Switch/And/Or/Xor/Not over
-struct/array/string/number/boolean columns, NumRange/NumInteger/
-NumMultipleOf/StrMatch/StrLength/ObjRequired/PropRange/ObjPropSet(
-struct)/ObjPropNames(struct)/ArrItems(single-schema)/ArrContains/
-ItemRange/EnumMatch(scalars)/acyclic Ref. Not supported: MapType
-columns, ArrUnique, composite-value enums, cyclic refs.
+struct/map/array/string/number/boolean columns, NumRange/NumInteger/
+NumMultipleOf/StrMatch/StrLength/ObjRequired/PropRange/ObjPropSet/
+ObjPropNames (struct AND map — map entries flatten like any list:
+keys child + values child + one cumsum reduction)/ArrItems(
+single-schema)/ArrContains/ItemRange/EnumMatch(scalars)/acyclic Ref.
+Not supported: ArrUnique, composite-value enums, cyclic refs,
+non-string map keys.
 
 Dialect note: pc.match_substring_regex is RE2 — no backreferences or
 lookaround (same family as the reference's libfsm DFAs, which also
@@ -41,6 +43,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     NullType,
     ShortType,
     StringType,
@@ -111,6 +114,14 @@ def _offsets(arr: pa.ListArray) -> tuple[np.ndarray, pa.Array]:
     return off, values.slice(0, off[-1])
 
 
+def _map_parts(arr) -> tuple[np.ndarray, pa.Array, pa.Array]:
+    """(offsets, flat keys, flat values) of a MapArray — a map column
+    is list<struct<key,value>>, so the entries flatten zero-copy like
+    any list and per-document reduction stays one cumsum pass."""
+    off, entries = _offsets(arr)
+    return off, entries.field(0), entries.field(1)
+
+
 class Unsupported(Exception):
     pass
 
@@ -127,6 +138,11 @@ class _Compiler:
     def __init__(self, defs: Dict[str, Node]):
         self.defs = defs
         self._ref_depth = 0
+
+    @staticmethod
+    def _map_keys_ok(dtype) -> None:
+        if not isinstance(dtype.keyType, StringType):
+            raise Unsupported("map with non-string keys")
 
     def compile(self, node: Node, dtype: DataType, probe: bool = False) -> Ev:
         """Build an evaluator; with probe=True only validates support."""
@@ -244,6 +260,21 @@ class _Compiler:
 
             return strlen
         if isinstance(node, ObjRequired):
+            if isinstance(dtype, MapType):
+                self._map_keys_ok(dtype)
+
+                def req_map(a, keys_req=node.keys):
+                    off, keys, _ = _map_parts(a)
+                    out = np.ones(len(a), dtype=bool)
+                    for k in keys_req:
+                        # key PRESENCE, even with a null value — map
+                        # semantics match typed's map_contains_key,
+                        # not the struct path's isNotNull
+                        hit = _np_bool(pc.equal(keys, k), len(keys))
+                        out &= _seg_any(hit, off)
+                    return out
+
+                return req_map
             if not isinstance(dtype, StructType):
                 raise Unsupported("required on non-struct")
             names = set(dtype.fieldNames())
@@ -260,6 +291,18 @@ class _Compiler:
 
             return req
         if isinstance(node, PropRange):
+            if isinstance(dtype, MapType):
+                self._map_keys_ok(dtype)
+
+                def prange_map(a, n=node):
+                    off, _, _ = _map_parts(a)
+                    ln = off[1:] - off[:-1]
+                    ok = ln >= n.lo
+                    if n.hi is not None:
+                        ok &= ln <= n.hi
+                    return ok
+
+                return prange_map
             if not isinstance(dtype, StructType):
                 raise Unsupported("propRange on non-struct")
             fields = dtype.fieldNames()
@@ -277,8 +320,55 @@ class _Compiler:
 
             return prange
         if isinstance(node, ObjPropSet):
+            if isinstance(dtype, MapType):
+                self._map_keys_ok(dtype)
+                vt = dtype.valueType
+                prop_evs = [
+                    (k, self.compile(sub, vt)) for k, sub in node.props
+                ]
+                pat_evs = []
+                for pat, sub in node.patterns:
+                    rp = redialect.translate(pat, "re2")
+                    pc.match_substring_regex(
+                        pa.array([""], type=pa.string()), rp
+                    )
+                    pat_evs.append((rp, self.compile(sub, vt)))
+                add_ev = (
+                    None
+                    if isinstance(node.additional, Valid)
+                    else self.compile(node.additional, vt)
+                )
+
+                def propset_map(
+                    a, prop_evs=prop_evs, pat_evs=pat_evs, add_ev=add_ev
+                ):
+                    off, keys, vals = _map_parts(a)
+                    n_flat = len(keys)
+                    fail = np.zeros(n_flat, dtype=bool)
+                    known = np.zeros(n_flat, dtype=bool)
+                    for k, ev in prop_evs:
+                        mask = _np_bool(pc.equal(keys, k), n_flat)
+                        known |= mask
+                        if mask.any():
+                            # present key with null VALUE still checks
+                            # the subschema (its null arm resolves it)
+                            fail |= mask & ~ev(vals)
+                    for rp, ev in pat_evs:
+                        mask = _np_bool(
+                            pc.match_substring_regex(keys, rp), n_flat
+                        )
+                        known |= mask
+                        if mask.any():
+                            fail |= mask & ~ev(vals)
+                    if add_ev is not None:
+                        um = ~known
+                        if um.any():
+                            fail |= um & ~add_ev(vals)
+                    return _seg_all(fail, off)
+
+                return propset_map
             if not isinstance(dtype, StructType):
-                raise Unsupported("propset on non-struct (map unsupported)")
+                raise Unsupported("propset on non-struct")
             parts = []  # (field_name, field_dtype, sub evaluator)
             props = dict(node.props)
             for f in dtype.fields:
@@ -303,6 +393,15 @@ class _Compiler:
 
             return propset
         if isinstance(node, ObjPropNames):
+            if isinstance(dtype, MapType):
+                self._map_keys_ok(dtype)
+                name_ev = self.compile(node.name_schema, StringType())
+
+                def propnames_map(a, name_ev=name_ev):
+                    off, keys, _ = _map_parts(a)
+                    return _seg_all(~name_ev(keys), off)
+
+                return propnames_map
             if not isinstance(dtype, StructType):
                 raise Unsupported("propNames on non-struct")
             from jvst_spark.compiler.pyeval import compile_python

@@ -101,3 +101,219 @@ class TestArrowKernelsDirect:
         assert not supports(
             spec.root, _parse_datatype_string("array<bigint>"), spec.defs
         )
+
+
+class TestArrowMapColumns:
+    """Round-3: MapType (open objects) through the Arrow backend —
+    parity with pyeval on dict documents."""
+
+    def check_map(self, schema, pa_value_type, sp_value_type, rows):
+        from pyspark.sql.types import MapType, StringType
+
+        spec = compile_schema(schema)
+        dt = MapType(StringType(), sp_value_type, True)
+        assert supports(spec.root, dt, spec.defs), schema
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(
+            [None if r is None else list(r.items()) for r in rows],
+            type=pa.map_(pa.string(), pa_value_type),
+        )
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        expect = [pyv(r) for r in rows]
+        assert got == expect, (schema, rows, got, expect)
+
+    def test_required_and_props(self):
+        from pyspark.sql.types import LongType
+
+        self.check_map(
+            {"type": "object", "required": ["a"],
+             "properties": {"a": {"type": "integer", "minimum": 0},
+                            "b": {"type": "integer", "maximum": 5}}},
+            pa.int64(), LongType(),
+            [{"a": 1}, {"a": -1}, {"b": 2}, {"a": 0, "b": 9},
+             {"a": 3, "b": 5}, {}, None],
+        )
+
+    def test_required_counts_null_valued_keys(self):
+        from pyspark.sql.types import LongType
+
+        # key PRESENT with null value: required satisfied (map
+        # semantics — matches typed's map_contains_key), and the
+        # subschema's null arm decides the value check
+        self.check_map(
+            {"required": ["a"], "properties": {"a": {"type": "integer"}}},
+            pa.int64(), LongType(),
+            [{"a": None}, {"a": 1}, {"b": 1}],
+        )
+        self.check_map(
+            {"required": ["a"],
+             "properties": {"a": {"type": ["integer", "null"]}}},
+            pa.int64(), LongType(),
+            [{"a": None}, {"a": 1}],
+        )
+
+    def test_pattern_props_and_additional_false(self):
+        from pyspark.sql.types import StringType as SpStr
+
+        self.check_map(
+            {"patternProperties": {"^x": {"type": "string", "maxLength": 2}},
+             "properties": {"ok": {"type": "string"}},
+             "additionalProperties": False},
+            pa.string(), SpStr(),
+            [{"x1": "ab"}, {"x1": "abc"}, {"ok": "anything"},
+             {"zz": "nope"}, {"x9": "a", "ok": "y"}, {}],
+        )
+
+    def test_additional_properties_schema_form(self):
+        from pyspark.sql.types import LongType
+
+        self.check_map(
+            {"properties": {"a": {"type": "integer"}},
+             "additionalProperties": {"type": "integer", "minimum": 10}},
+            pa.int64(), LongType(),
+            [{"a": 1}, {"a": 1, "b": 10}, {"a": 1, "b": 9}, {"c": 11}],
+        )
+
+    def test_property_names_and_prop_range(self):
+        from pyspark.sql.types import LongType
+
+        self.check_map(
+            {"propertyNames": {"pattern": "^[ab]$"},
+             "minProperties": 1, "maxProperties": 2},
+            pa.int64(), LongType(),
+            [{"a": 1}, {"a": 1, "b": 2}, {"c": 1},
+             {"a": 1, "b": 2, "x": 3}, {}],
+        )
+
+    def test_nested_map_in_struct_spec(self):
+        # flagship-style: struct row whose field is an open map
+        from pyspark.sql.types import (
+            LongType, MapType, StringType, StructField, StructType,
+        )
+
+        schema = {
+            "type": "object",
+            "required": ["meta"],
+            "properties": {
+                "meta": {"type": "object", "required": ["k"],
+                         "additionalProperties": {"type": "integer"}},
+            },
+        }
+        spec = compile_schema(schema)
+        dt = StructType(
+            [StructField("meta", MapType(StringType(), LongType(), True))]
+        )
+        assert supports(spec.root, dt, spec.defs)
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        docs = [{"meta": {"k": 1}}, {"meta": {"j": 1}},
+                {"meta": {"k": 1, "z": 2}}, {}]
+        arr = pa.array(
+            [{"meta": list(d["meta"].items()) if "meta" in d else None}
+             for d in docs],
+            type=pa.struct(
+                [("meta", pa.map_(pa.string(), pa.int64()))]
+            ),
+        )
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        assert got == [pyv(d) for d in docs]
+
+    def test_spark_roundtrip_parity_with_typed(self, spark):
+        from pyspark.sql import functions as F
+
+        schema = {
+            "type": "object",
+            "required": ["k"],
+            "minProperties": 1,
+            "propertyNames": {"maxLength": 3},
+            "additionalProperties": {"type": "integer", "minimum": 0},
+        }
+        plan = ValidationPlan(compile_schema(schema))
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 7 == 0,
+                F.create_map(F.lit("bad!"), F.col("id")),
+            )
+            .when(F.col("id") % 5 == 0,
+                  F.create_map(F.lit("z"), -F.col("id")))
+            .when(F.col("id") % 3 == 0,
+                  F.create_map(F.lit("x"), F.col("id")))
+            .otherwise(
+                F.create_map(F.lit("k"), F.col("id"),
+                             F.lit("w"), F.col("id") * 2)
+            )
+            .alias("k_map"),
+        )
+        # validate the map COLUMN as the document object
+        from jvst_spark.compiler.arrow_backend import compile_arrow_verdicts
+        from pyspark.sql.types import StructType as SpStruct
+
+        rt = SpStruct([df.schema[c] for c in df.columns])
+        spec = plan.spec
+        # wrap: the row object has doc_id + k_map; validate k_map only
+        wrapped = {
+            "type": "object",
+            "properties": {"k_map": schema},
+            "required": ["k_map"],
+        }
+        wplan = ValidationPlan(compile_schema(wrapped))
+        av = {
+            r["doc_id"]: r["valid"]
+            for r in arrow_verdicts(wplan, df).collect()
+        }
+        cv = {
+            r["doc_id"]: r["valid"]
+            for r in wplan.apply_typed(df).verdicts().collect()
+        }
+        assert av == cv and len(av) == 200
+        assert True in av.values() and False in av.values()
+
+
+class TestArrowConformanceCorpus:
+    def test_corpus_object_docs_as_maps_agree_with_pyeval(self):
+        """Re-run the conformance corpus through the Arrow backend
+        with every homogeneous-scalar object document typed as
+        map<string,T> — the open-object model the backend gained in
+        round 3. Every supported (schema, doc) must reproduce the
+        suite's expected verdict."""
+        from pyspark.sql.types import (
+            BooleanType, DoubleType, LongType, MapType, StringType,
+        )
+
+        from tests.conftest import CONFORMANCE_CASES
+
+        checked = 0
+        mismatches = []
+        for suite, schema, desc, doc, expected in CONFORMANCE_CASES:
+            if not isinstance(doc, dict):
+                continue
+            vals = list(doc.values())
+            if vals and all(isinstance(v, bool) for v in vals):
+                pa_t, sp_t = pa.bool_(), BooleanType()
+            elif vals and all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in vals
+            ):
+                pa_t, sp_t = pa.int64(), LongType()
+            elif vals and all(isinstance(v, float) for v in vals):
+                pa_t, sp_t = pa.float64(), DoubleType()
+            elif all(isinstance(v, str) for v in vals):
+                pa_t, sp_t = pa.string(), StringType()
+            else:
+                continue
+            spec = compile_schema(schema)
+            dt = MapType(StringType(), sp_t, True)
+            if not supports(spec.root, dt, spec.defs):
+                continue
+            ev = _Compiler(spec.defs).compile(spec.root, dt)
+            arr = pa.array(
+                [list(doc.items())], type=pa.map_(pa.string(), pa_t)
+            )
+            got = bool(ev(arr)[0])
+            if got != expected:
+                mismatches.append((suite, desc, doc, got, expected))
+            checked += 1
+        assert checked >= 100, f"only {checked} corpus docs ran as maps"
+        assert not mismatches, mismatches[:10]
