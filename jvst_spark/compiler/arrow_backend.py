@@ -15,9 +15,10 @@ struct/map/array/string/number/boolean columns, NumRange/NumInteger/
 NumMultipleOf/StrMatch/StrLength/ObjRequired/PropRange/ObjPropSet/
 ObjPropNames (struct AND map — map entries flatten like any list:
 keys child + values child + one cumsum reduction)/ArrItems(
-single-schema)/ArrContains/ItemRange/EnumMatch(scalars)/acyclic Ref.
-Not supported: ArrUnique, composite-value enums, cyclic refs,
-non-string map keys.
+single-schema)/ArrContains/ItemRange/EnumMatch(scalars)/acyclic Ref/
+ArrUnique(scalar elements — lexsort dup-scan in double bit-pattern
+space, UEM semantics). Not supported: ArrUnique on composite
+elements, composite-value enums, cyclic refs, non-string map keys.
 
 Dialect note: pc.match_substring_regex is RE2 — no backreferences or
 lookaround (same family as the reference's libfsm DFAs, which also
@@ -82,6 +83,15 @@ _NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
 # evaluator signature: (arrow array) -> np.ndarray[bool] with null
 # semantics already resolved (never returns masked/None entries)
 Ev = Callable[[pa.Array], np.ndarray]
+
+
+def _as_f64(arr: pa.Array) -> pa.Array:
+    """Numeric array -> float64 in C-double space (precision-lossy by
+    design: 2^53+1 == 2^53, matching the Column path's cast("double")
+    and pyeval's float()). Arrow's default cast is CHECKED and raises
+    ArrowInvalid on int64 beyond 2^53 — safe=False restores the
+    unchecked double-space semantics all backends share."""
+    return pc.cast(arr, pa.float64(), safe=False)
 
 
 def _np_bool(arr, n: int) -> np.ndarray:
@@ -202,7 +212,7 @@ class _Compiler:
                 return lambda a: np.zeros(len(a), dtype=bool)
 
             def num_range(a, n=node):
-                v = pc.cast(a, pa.float64())
+                v = _as_f64(a)
                 ok = None
                 if n.lo is not None:
                     c = pc.greater(v, n.lo) if n.lo_excl else pc.greater_equal(v, n.lo)
@@ -220,7 +230,7 @@ class _Compiler:
                 return lambda a: pc.is_valid(a).to_numpy(zero_copy_only=False)
 
             def is_int(a):
-                v = pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)
+                v = _as_f64(a).to_numpy(zero_copy_only=False)
                 with np.errstate(invalid="ignore"):
                     return np.isfinite(v) & (v == np.ceil(v))
 
@@ -231,7 +241,7 @@ class _Compiler:
             d = node.divisor
 
             def mult(a, d=d):
-                v = pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)
+                v = _as_f64(a).to_numpy(zero_copy_only=False)
                 with np.errstate(invalid="ignore", over="ignore"):
                     q = v / d
                     return np.isfinite(q) & (q == np.ceil(q))
@@ -470,7 +480,7 @@ class _Compiler:
                     return lambda a: np.zeros(len(a), dtype=bool)
                 return lambda a, nums=nums: _np_bool(
                     pc.is_in(
-                        pc.cast(a, pa.float64()),
+                        _as_f64(a),
                         value_set=pa.array(nums, type=pa.float64()),
                     ),
                     len(a),
@@ -492,7 +502,56 @@ class _Compiler:
                 )
             raise Unsupported("composite enum in arrow backend")
         if isinstance(node, ArrUnique):
-            raise Unsupported("uniqueItems in arrow backend")
+            et = getattr(dtype, "elementType", None)
+            if not isinstance(dtype, ArrayType) or not isinstance(
+                et, (_NUMERIC, StringType, BooleanType)
+            ):
+                raise Unsupported(
+                    "uniqueItems on non-scalar elements in arrow backend"
+                )
+            numeric = isinstance(et, _NUMERIC)
+            boolean = isinstance(et, BooleanType)
+
+            def uniq(a, numeric=numeric, boolean=boolean):
+                off, values = _offsets(a)
+                n = len(values)
+                rows = len(a)
+                if n == 0:
+                    return np.ones(rows, dtype=bool)
+                seg = np.repeat(
+                    np.arange(rows, dtype=np.int64), off[1:] - off[:-1]
+                )
+                valid = pc.is_valid(values).to_numpy(zero_copy_only=False)
+                if numeric:
+                    # compare as double BIT PATTERNS: 1 == 1.0 via the
+                    # float64 cast, while -0.0 stays distinct from 0.0
+                    # exactly like the UEM's XXH64-over-bytes hashing
+                    # (src/validate_uniq.c:43) and canonicalize()'s repr
+                    v = _as_f64(values).to_numpy(
+                        zero_copy_only=False
+                    )
+                    key = v.view(np.uint64).copy()
+                    key[~valid] = 0
+                elif boolean:
+                    key = pc.fill_null(values, False).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int8)
+                else:
+                    key = np.asarray(
+                        pc.fill_null(values, "").to_pylist(), dtype=object
+                    )
+                order = np.lexsort((key, valid, seg))
+                so, sv, sk = seg[order], valid[order], key[order]
+                dup = (
+                    (so[1:] == so[:-1])
+                    & (sv[1:] == sv[:-1])
+                    & (sk[1:] == sk[:-1])
+                )
+                ok = np.ones(rows, dtype=bool)
+                ok[np.unique(so[1:][dup])] = False
+                return ok
+
+            return uniq
         raise Unsupported(f"node {type(node).__name__}")
 
     def _switch(self, node: Switch, dtype: DataType) -> Ev:

@@ -97,9 +97,17 @@ class TestArrowKernelsDirect:
     def test_unsupported_fallback_reported(self):
         from pyspark.sql.types import _parse_datatype_string
 
+        # composite-element uniqueItems (deep canonicalization) and
+        # composite enums stay on the Column/pyeval paths
         spec = compile_schema({"uniqueItems": True})
         assert not supports(
-            spec.root, _parse_datatype_string("array<bigint>"), spec.defs
+            spec.root,
+            _parse_datatype_string("array<struct<a:bigint>>"),
+            spec.defs,
+        )
+        spec2 = compile_schema({"enum": [[1, 2]]})
+        assert not supports(
+            spec2.root, _parse_datatype_string("array<bigint>"), spec2.defs
         )
 
 
@@ -317,3 +325,54 @@ class TestArrowConformanceCorpus:
             checked += 1
         assert checked >= 100, f"only {checked} corpus docs ran as maps"
         assert not mismatches, mismatches[:10]
+
+
+class TestArrowUniqueItems:
+    """Round-3: uniqueItems on scalar-element arrays (the reference's
+    UEM semantics: numbers as doubles, -0.0 bitwise distinct)."""
+
+    def check(self, dtype_str, pa_type, values):
+        from pyspark.sql.types import _parse_datatype_string
+
+        spec = compile_schema({"uniqueItems": True})
+        dt = _parse_datatype_string(f"array<{dtype_str}>")
+        assert supports(spec.root, dt, spec.defs)
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(values, type=pa.list_(pa_type))
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        expect = [pyv(v) for v in values]
+        assert got == expect, (values, got, expect)
+
+    def test_numeric_unique(self):
+        self.check("double", pa.float64(), [
+            [1.0, 2.0], [1.0, 1.0], [], [3.5],
+            [0.0, -0.0],          # bitwise distinct -> unique
+            [1.0, 1.00],          # same double -> dup
+            [None, None],         # two JSON nulls -> dup
+            [None, 0.0],
+        ])
+
+    def test_int_unique_collapses_to_double(self):
+        # beyond 2^53 ints collapse to the same double on BOTH engines
+        self.check("bigint", pa.int64(), [
+            [2 ** 53 + 1, 2 ** 53],   # same double -> dup (both engines)
+            [1, 2], [7, 7], [None, 1, None],
+        ])
+
+    def test_string_and_bool_unique(self):
+        self.check("string", pa.string(), [
+            ["a", "b"], ["a", "a"], ["", None], ["", ""], [None, None],
+        ])
+        self.check("boolean", pa.bool_(), [
+            [True, False], [True, True], [None, False, None],
+        ])
+
+    def test_composite_elements_stay_unsupported(self):
+        from pyspark.sql.types import _parse_datatype_string
+
+        spec = compile_schema({"uniqueItems": True})
+        assert not supports(
+            spec.root, _parse_datatype_string("array<array<int>>"),
+            spec.defs,
+        )
