@@ -163,14 +163,6 @@ class _Value:
         """The raw variant at this path (for let-binding)."""
         return F.try_variant_get(self._v, self._path, "variant")
 
-    @staticmethod
-    def of_element(e: Column) -> "_Value":
-        """Wrap one array element (a variant lambda variable) as a
-        root-path value. to_json(e) supplies subtree text (sorted keys,
-        control chars escaped — verified against PySpark 4.1), so
-        nested object checks inside array elements stay JVM-side."""
-        return _Value(e, "$", text=F.to_json(e))
-
 
 def _boolish(node: Node, leaf) -> Column:
     """Combinator recursion shared by every arm; `leaf` lowers the
@@ -251,8 +243,9 @@ _JSON_STR_OR_NUM = (
 )
 
 
-def _canon_elem_text(e: Column) -> Column:
-    """Canonical text of one array element for uniqueItems equality.
+def _canon_elem_text(txt: Column) -> Column:
+    """Canonical text of one array element (from its to_json text)
+    for uniqueItems equality.
 
     to_json(variant) already yields sorted object keys and normalized
     decimals; the remaining inequality between textually-different but
@@ -275,9 +268,7 @@ def _canon_elem_text(e: Column) -> Column:
     (XXH64-over-bytes hashing, src/validate_uniq.c:43). '-0' (both
     engines drop the sign: int has no -0) and exponent forms
     '-0.0e2' (both keep it: variant stores DOUBLE) agree."""
-    marked = F.regexp_replace(
-        F.to_json(e), _JSON_STR_OR_NUM, "$1\x01$2\x01"
-    )
+    marked = F.regexp_replace(txt, _JSON_STR_OR_NUM, "$1\x01$2\x01")
     parts = F.split(marked, "\x01", -1)
     norm = F.transform(
         parts,
@@ -288,68 +279,126 @@ def _canon_elem_text(e: Column) -> Column:
     return F.array_join(norm, "")
 
 
-def _elem_cond(sub: Node, e: Column) -> Column:
-    """One element's verdict under subschema `sub` (null-safe)."""
-    return F.coalesce(_lower_value(sub, _Value.of_element(e)), _F())
+def _sub_cond(sub: Node, e: Column, txt: Column) -> Column:
+    """One element's verdict under subschema `sub` (null-safe), with
+    the element's subtree text already bound to `txt`."""
+    return F.coalesce(_lower_value(sub, _Value(e, "$", text=txt)), _F())
 
 
-def _arr_items_cond(n: ArrItems, arr: Column) -> Column:
-    """items/additionalItems: positional prefixes check index-matched
-    subschemas; the tail (or the whole array for single-form items)
-    checks `additional`. One transform + forall — per-element work
-    only, no explode/shuffle."""
-    if not n.positional:
-        if isinstance(n.additional, Valid):
-            return _T()
-        conds = F.transform(arr, lambda e: _elem_cond(n.additional, e))
-    else:
-        k = len(n.positional)
-
-        def per(e: Column, i: Column) -> Column:
-            c = (
-                _T()
-                if isinstance(n.additional, Valid)
-                else _elem_cond(n.additional, e)
-            )
-            for idx in range(k - 1, -1, -1):
-                c = F.when(
-                    i == F.lit(idx), _elem_cond(n.positional[idx], e)
-                ).otherwise(c)
-            return c
-
-        conds = F.transform(arr, per)
-    return F.forall(conds, lambda b: b)
+def _items_elem_cond(n: ArrItems, e: Column, txt: Column, i: Column) -> Column:
+    """items/additionalItems verdict for ONE element at index `i`:
+    positional prefixes check index-matched subschemas; the tail (or
+    the whole array for single-form items) checks `additional`."""
+    c = (
+        _T()
+        if isinstance(n.additional, Valid)
+        else _sub_cond(n.additional, e, txt)
+    )
+    for idx in range(len(n.positional) - 1, -1, -1):
+        c = F.when(
+            i == F.lit(idx), _sub_cond(n.positional[idx], e, txt)
+        ).otherwise(c)
+    return c
 
 
 def _array_checks(node: Node, val: _Value) -> Column:
     """Array-arm leaves over the array<variant> element axis:
     min/maxItems, items/additionalItems (full subschema recursion via
     _lower_value — nested objects/arrays included), contains, and
-    uniqueItems via canonicalized element text. The element array is
-    let-bound: one cast-to-array<variant> walk feeds every leaf."""
+    uniqueItems via canonicalized element text.
 
-    def abody(arr: Column) -> Column:
+    Two-phase lowering (measured 17.4s -> 4.6s at sf0.1 for the
+    items+contains+uniqueItems spec): phase 1 computes EVERY leaf's
+    per-element component (items verdict, contains hit, canonical
+    text) inside ONE transform, with the element's to_json text bound
+    once per element — so the array walk, the element serialization,
+    and the element's variant accessors run once regardless of how
+    many keywords consume them. Phase 2 let-binds that bound array
+    and reduces each leaf over precomputed struct fields (forall /
+    exists / array_distinct), where a Column-tree re-reference would
+    otherwise re-evaluate the whole per-element pass per keyword
+    (items alone 8.5s + contains alone 6.5s superadded to 17.4s)."""
+    leaves: list[Node] = []
+
+    def collect(n: Node) -> None:
+        if isinstance(n, (And, Or, Xor)):
+            for t in n.terms:
+                collect(t)
+        elif isinstance(n, Not):
+            collect(n.term)
+        elif isinstance(n, ArrItems):
+            # single-form items with a Valid schema is constant True
+            if (n.positional or not isinstance(n.additional, Valid)) and (
+                n not in leaves
+            ):
+                leaves.append(n)
+        elif isinstance(n, (ArrContains, ArrUnique)):
+            if n not in leaves:
+                leaves.append(n)
+        elif isinstance(n, (ItemRange, Valid, Invalid)):
+            pass
+        else:
+            raise _Unsupported(f"array leaf {type(n).__name__}")
+
+    collect(node)
+    idx = {n: i for i, n in enumerate(leaves)}
+
+    def elem_fields(e: Column, i: Column) -> Column:
+        """struct of every leaf's component for one element, with the
+        element text let-bound (to_json runs once per element)."""
+
+        def fields_body(txt: Column) -> Column:
+            cols = []
+            for j, n in enumerate(leaves):
+                if isinstance(n, ArrItems):
+                    c = _items_elem_cond(n, e, txt, i)
+                elif isinstance(n, ArrContains):
+                    c = _sub_cond(n.schema, e, txt)
+                else:  # ArrUnique
+                    c = _canon_elem_text(txt)
+                cols.append(c.alias(f"f{j}"))
+            return F.struct(*cols)
+
+        return F.element_at(
+            F.transform(F.array(F.to_json(e)), fields_body), 1
+        )
+
+    def consume(ba: Column) -> Column:
         def leaf(n: Node) -> Column:
             if isinstance(n, ItemRange):
-                ln = F.size(arr)
+                ln = F.size(ba)
                 c = ln >= F.lit(n.lo)
                 if n.hi is not None:
                     c = c & (ln <= F.lit(n.hi))
                 return c
+            # NB: closures, not default args — a second Python lambda
+            # param is PySpark's INDEX argument, not a let-binding
             if isinstance(n, ArrItems):
-                return _arr_items_cond(n, arr)
+                if n not in idx:  # constant-True single-form items
+                    return _T()
+                fld = f"f{idx[n]}"
+                return F.forall(ba, lambda x: x[fld])
             if isinstance(n, ArrContains):
-                return F.exists(arr, lambda e: _elem_cond(n.schema, e))
+                fld = f"f{idx[n]}"
+                return F.exists(ba, lambda x: x[fld])
             if isinstance(n, ArrUnique):
-                return F.size(arr) == F.size(
-                    F.array_distinct(F.transform(arr, _canon_elem_text))
+                fld = f"f{idx[n]}"
+                return F.size(ba) == F.size(
+                    F.array_distinct(F.transform(ba, lambda x: x[fld]))
                 )
             raise _Unsupported(f"array leaf {type(n).__name__}")
 
         return _boolish(node, leaf)
 
+    if not leaves:
+        # only size checks: reduce over the element array directly
+        return F.element_at(
+            F.transform(F.array(val.elems()), consume), 1
+        )
     return F.element_at(
-        F.transform(F.array(val.elems()), lambda a: abody(a)),
+        F.transform(
+            F.array(F.transform(val.elems(), elem_fields)), consume
+        ),
         1,
     )
 
@@ -439,6 +488,23 @@ def _let_typ(val: _Value, body) -> Column:
     )
 
 
+def _needs_text(node: Node) -> bool:
+    """Does lowering `node` at a path require the subtree's JSON text?
+    Only a non-trivial OBJECT arm does: keys / required / property
+    ranges / additionalProperties come from json_object_keys over the
+    text, and object property children derive their text from it.
+    Array elements re-derive text via to_json(element) and scalar arms
+    never touch it, so a scalar-only subschema can skip the text
+    binding entirely."""
+    if isinstance(node, Switch):
+        return not isinstance(dict(node.arms)["object"], (Valid, Invalid))
+    if isinstance(node, (And, Or, Xor)):
+        return any(_needs_text(t) for t in node.terms)
+    if isinstance(node, Not):
+        return _needs_text(node.term)
+    return False
+
+
 def _lower_value(node: Node, val: _Value) -> Column:
     """Value-level node -> Column over the variant at `val`'s path."""
     if isinstance(node, Ref):
@@ -476,11 +542,18 @@ def _lower_value(node: Node, val: _Value) -> Column:
                 cond = cond | (typ == "VOID")
             return cond
 
+        if val.text is not None:
+            val = _Value(val._v, val._path)  # scalar enum: no text
         return _let_typ(val, enum_body)
     if isinstance(node, (And, Or, Xor, Not)):
         return _boolish(node, lambda n: _lower_value(n, val))
     if isinstance(node, Switch):
         arms = dict(node.arms)
+        if val.text is not None and not _needs_text(node):
+            # scalar-only subschema: skip binding the subtree text
+            # (one get_json_object per property path, measured ~0.3s
+            # per pass at sf0.1) — nothing downstream consumes it
+            val = _Value(val._v, val._path)
 
         def switch_body(bound: _Value, typ: Column) -> Column:
             expr = _F()
