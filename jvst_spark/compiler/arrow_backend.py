@@ -608,4 +608,8 @@ def arrow_verdicts(plan, df, id_col: str = "doc_id"):
         plan.spec.root, row_type, id_col, plan.spec.defs
     )
     id_t = df.schema[id_col].dataType.simpleString()
-    return df.mapInArrow(run, f"doc_id {id_t}, valid boolean")
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInArrow(
+        run, f"doc_id {id_t}, valid boolean"
+    )

@@ -288,7 +288,9 @@ def simhash_signatures_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
             sigs = ["".join("1" if b else "0" for b in row) for row in pos]
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
 
-    return df.select("doc_id", text_col).mapInPandas(
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    return ensure_min_parallelism(df.select("doc_id", text_col)).mapInPandas(
         batches, f"doc_id {id_t}, simhash string"
     )
 

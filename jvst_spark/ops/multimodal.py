@@ -97,7 +97,11 @@ def decode_features(
             out["features"] = feats
             yield out
 
-    return media.mapInPandas(decode_batches, out_schema)
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    return ensure_min_parallelism(media).mapInPandas(
+        decode_batches, out_schema
+    )
 
 
 def synthetic_media(spark, sf_dir: str) -> DataFrame:
