@@ -140,6 +140,12 @@ class ValidationPlan:
         computed in the same projection; violations explode lazily only
         if the caller reads them.
         """
+        from jvst_spark.ops._parallel import ensure_min_parallelism
+
+        # the validation projection is CPU-bound, not IO-bound: a
+        # small single-file input (1-2 size-based splits) would pin
+        # the whole job on 1-2 cores; no-op on wide inputs
+        df = ensure_min_parallelism(df)
         cols = columns or [c for c in df.columns]
         row_type = StructType([df.schema[c] for c in cols])
         row_col = F.struct(*[F.col(c).alias(c) for c in cols])
@@ -233,6 +239,13 @@ class ValidationPlan:
         (jvst: compile once, jvst_vm_more per document,
         src/main.c:372-417)."""
         import pandas as pd
+
+        from jvst_spark.ops._parallel import ensure_min_parallelism
+
+        # variant/JSON expressions are interpreted (CodegenFallback) —
+        # at ~5-15us/doc a 100k-doc single-file input on 2 size-based
+        # splits runs 2 of N cores; no-op on wide inputs
+        df = ensure_min_parallelism(df)
 
         validator = compile_python(self.spec.root, self.spec.defs)
         explainer = compile_explain(self.spec.root, self.spec.defs)
