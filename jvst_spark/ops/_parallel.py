@@ -18,7 +18,14 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     """Round-robin repartition `df` up to `min_parts` (default: the
     cluster's defaultParallelism) ONLY when it currently has fewer
     partitions. No-op — no shuffle, no plan change — when the input is
-    already wide enough, which is the normal case at scale."""
+    already wide enough, which is the normal case at scale.
+
+    Cost note: the `.rdd` partition probe plans the input subtree on
+    the driver (~0.3-0.6s on this host, once per DataFrame build —
+    negligible against any real job). With AQE, probing a frame whose
+    lineage already contains an Exchange can additionally execute the
+    shuffle stages eagerly; call sites here probe scan/projection
+    inputs, where the probe is planning-only."""
     if df.isStreaming:  # .rdd is undefined; micro-batches repartition
         return df       # via their own shuffle boundaries
     sc = df.sparkSession.sparkContext
