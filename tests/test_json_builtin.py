@@ -203,6 +203,66 @@ class TestFastPathParity:
         assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
         assert not mismatches, mismatches[:10]
 
+    def test_combinators_over_array_leaves_match_pyeval(self, spark):
+        """Boolean combinators wrapping array leaves at the SAME array
+        path — the shapes the round-3 two-phase lowering restructures
+        (every leaf's per-element component moves into one shared
+        bound transform; the combinator skeleton then consumes
+        precomputed fields). not/anyOf/allOf/oneOf over items,
+        contains, uniqueItems, and duplicate leaves that must share a
+        field."""
+        specs = [
+            {"not": {"contains": {"type": "integer", "minimum": 5}}},
+            {"anyOf": [
+                {"items": {"type": "integer"}},
+                {"contains": {"type": "string"}},
+            ]},
+            {"allOf": [
+                {"items": {"type": "number", "minimum": 0}},
+                {"uniqueItems": True},
+                {"minItems": 1},
+            ]},
+            {"oneOf": [
+                {"contains": {"const": 1}},
+                {"contains": {"const": "x"}},
+            ]},
+            # duplicate leaf nodes -> one shared struct field
+            {"allOf": [
+                {"contains": {"type": "integer", "minimum": 0}},
+                {"anyOf": [
+                    {"contains": {"type": "integer", "minimum": 0}},
+                    {"minItems": 3},
+                ]},
+            ]},
+            {"not": {"uniqueItems": True}},
+            {"items": [{"type": "integer"}, {"type": "string"}],
+             "additionalItems": {"type": "boolean"}},
+        ]
+        docs = [
+            "[]", "[1]", "[1, 2, 3]", "[5, 6]", '["x"]', '[1, "x"]',
+            '[1, 1]', '[0.5, -2]', '[1, 1.0]', '[true, false]',
+            '[1, "a", true]', '[[1], [1]]', '[{"a": 1}, {"a": 1}]',
+            '[null, null]', "[2.5]", '[1, "x", true, true]',
+            "5", '"abc"', "null", "{}", '{"a": [1]}',
+        ]
+        for schema in specs:
+            spec = compile_schema(schema)
+            fast = try_lower(spec)
+            assert fast is not None, schema
+            pyv = compile_python(spec.root, spec.defs)
+            df = spark.createDataFrame(
+                [(str(i), d) for i, d in enumerate(docs)],
+                ["doc_id", "body"],
+            )
+            got = {
+                int(r["doc_id"]): r["v"]
+                for r in df.select(
+                    "doc_id", fast(F.col("body")).alias("v")
+                ).collect()
+            }
+            for i, d in enumerate(docs):
+                assert got[i] == pyv(json.loads(d)), (schema, d)
+
     def test_fuzz_random_specs_match_pyeval(self, spark):
         """Seeded fuzz: random supported-spec shapes x random documents
         (typed, mistyped, edge numerics, extra keys, malformed text) —
