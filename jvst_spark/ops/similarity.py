@@ -228,10 +228,15 @@ def ivf_assign(
             )
         ).alias("cents")
     )
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
     # explode(array()) Generate barrier: evaluate the row's own norm
-    # once, not once per centroid inside the transform lambda
+    # once, not once per centroid inside the transform lambda.
+    # C interpreted dot products per row are CPU-bound — don't let a
+    # narrow input pin them to its 1-2 size-based splits
     base = (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
         .select(
             "vid", "v", "cents",
@@ -474,23 +479,63 @@ def lsh_ann_topk(
     it broadcasts."""
     from pyspark.sql import Window
 
-    # the whole (tbl, bucket) struct array as ONE parsed SQL expression:
-    # the Column-API equivalent is thousands of py4j calls for the
-    # plane literals (measured ~4s/side of pure driver time)
-    tb_sql = "array(" + ", ".join(
-        f"struct({t} as tbl, "
-        f"{_bucket_sql(f'`{vec_col}`', dim, n_planes, t)} as bucket)"
-        for t in range(n_tables)
-    ) + ")"
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    # the hyperplanes ship as DATA in one broadcast row, not as plan
+    # text: n_tables x n_planes x dim doubles inlined as SQL literals
+    # made a ~65KB expression whose Catalyst analysis alone cost ~2.2s
+    # of driver time PER PLAN BUILD at dim=64 (measured; execution on
+    # the 2k-row sf0.1 corpus is 0.3s — the plan was 7x the work).
+    # As an array<struct<tbl,planes>> column the expression is O(1)
+    # size; the dot-product fold keeps the exact same left-to-right
+    # double accumulation as _bucket_sql, so bucket ids (and the
+    # DuckDB oracle replay) are bit-identical
+    planes_row = emb.sparkSession.createDataFrame(
+        [([(t, _hyperplanes(dim, n_planes, t)) for t in range(n_tables)],)],
+        "_tables array<struct<tbl:int,planes:array<array<double>>>>",
+    )
 
     def with_buckets(df, prefix):
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.explode(F.expr(tb_sql)).alias("tb"),
-        ).select(
-            f"{prefix}_id",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
+        # n_tables*n_planes interpreted dot products per row: CPU-
+        # bound, so a narrow single-file input must not cap the scan
+        # at its 1-2 size-based splits
+        df = ensure_min_parallelism(df)
+        tb = F.transform(
+            F.col("_tables"),
+            lambda tab: F.struct(
+                tab["tbl"].alias("tbl"),
+                F.array_join(
+                    F.transform(
+                        tab["planes"],
+                        lambda pl: F.when(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col(vec_col),
+                                    pl,
+                                    lambda x, y: x.cast("double") * y,
+                                ),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            )
+                            >= 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0")),
+                    ),
+                    "",
+                ).alias("bucket"),
+            ),
+        )
+        return (
+            df.crossJoin(F.broadcast(planes_row))
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.explode(tb).alias("tb"),
+            )
+            .select(
+                f"{prefix}_id",
+                F.col("tb.tbl").alias("tbl"),
+                F.col("tb.bucket").alias("bucket"),
+            )
         )
 
     cand = (
