@@ -123,6 +123,46 @@ class TestStreaming:
         }
         assert got == expect
 
+    def test_json_stream_matches_batch(self, spark, tmp_path):
+        """apply_json over a readStream source: the JVM variant fast
+        path is a stateless projection too, and the min-parallelism
+        guard must pass streaming frames through untouched (a .rdd
+        probe would throw). Verdicts must match the batch run."""
+        from jvst_spark.compiler.plan import ValidationPlan, compile_schema
+
+        spec = {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0}},
+        }
+        plan = ValidationPlan(compile_schema(spec))
+        docs = [
+            ("d0", '{"k": 1}'), ("d1", '{"k": -1}'), ("d2", '{"k": 1.5}'),
+            ("d3", "{}"), ("d4", "not json"), ("d5", '{"k": 0, "x": 9}'),
+        ]
+        src = spark.createDataFrame(docs, ["doc_id", "body"])
+        data_dir = str(tmp_path / "jin")
+        src.write.mode("overwrite").parquet(data_dir)
+
+        stream = spark.readStream.schema(src.schema).parquet(data_dir)
+        out = plan.apply_json(stream, "body").verdicts()
+        q = (
+            out.writeStream.format("memory")
+            .queryName("jstream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["valid"]
+            for r in spark.sql("SELECT doc_id, valid FROM jstream").collect()
+        }
+        expect = {
+            r["doc_id"]: r["valid"]
+            for r in plan.apply_json(src, "body").verdicts().collect()
+        }
+        assert got == expect and len(got) == len(docs)
+
     def test_stateful_streaming_dedup(self, spark, tmp_path):
         from jvst_spark.streaming.stateful_dedup import streaming_duplicates
 
