@@ -15,10 +15,12 @@ struct/map/array/string/number/boolean columns, NumRange/NumInteger/
 NumMultipleOf/StrMatch/StrLength/ObjRequired/PropRange/ObjPropSet/
 ObjPropNames (struct AND map — map entries flatten like any list:
 keys child + values child + one cumsum reduction)/ArrItems(
-single-schema)/ArrContains/ItemRange/EnumMatch(scalars)/acyclic Ref/
-ArrUnique(scalar elements — lexsort dup-scan in double bit-pattern
-space, UEM semantics). Not supported: ArrUnique on composite
-elements, composite-value enums, cyclic refs, non-string map keys.
+single-schema)/ArrContains/ItemRange/EnumMatch(scalars AND flat
+scalar-element array values — per-candidate gather + vectorized
+double-space compare)/acyclic Ref/ArrUnique(scalar elements — lexsort
+dup-scan in double bit-pattern space, UEM semantics). Not supported:
+ArrUnique on composite elements, object-valued enums, cyclic refs,
+non-string map keys.
 
 Dialect note: pc.match_substring_regex is RE2 — no backreferences or
 lookaround (same family as the reference's libfsm DFAs, which also
@@ -478,9 +480,13 @@ class _Compiler:
                 ]
                 if not nums:
                     return lambda a: np.zeros(len(a), dtype=bool)
+                # +0.0 normalizes -0.0 on both sides (enum is the
+                # reference's NUM_RANGE double compare; Arrow is_in
+                # hashes, so don't rely on its zero semantics)
+                nums = [v + 0.0 for v in nums]
                 return lambda a, nums=nums: _np_bool(
                     pc.is_in(
-                        _as_f64(a),
+                        pc.add(_as_f64(a), 0.0),
                         value_set=pa.array(nums, type=pa.float64()),
                     ),
                     len(a),
@@ -500,6 +506,11 @@ class _Compiler:
                 return lambda a, bools=bools: _np_bool(
                     pc.is_in(a, value_set=pa.array(bools)), len(a)
                 )
+            et = getattr(dtype, "elementType", None)
+            if isinstance(dtype, ArrayType) and isinstance(
+                et, (_NUMERIC, StringType, BooleanType)
+            ):
+                return self._enum_array(vals, et)
             raise Unsupported("composite enum in arrow backend")
         if isinstance(node, ArrUnique):
             et = getattr(dtype, "elementType", None)
@@ -553,6 +564,106 @@ class _Compiler:
 
             return uniq
         raise Unsupported(f"node {type(node).__name__}")
+
+    @staticmethod
+    def _enum_array(vals, et) -> Ev:
+        """enum over an array-of-scalars column: a row matches when its
+        array deep-equals one of the enum's list values — numbers
+        compared as doubles with -0.0 == 0.0 at every depth (the
+        reference desugars enum numbers to NUM_RANGE [x,x] double
+        compares, src/validate_constraints.c:1140-1154; contrast
+        ArrUnique's raw bit patterns). Implemented as bit-pattern
+        equality after a +0.0 normalization, which is exactly double
+        equality for non-NaN values. Candidate enum values that are
+        not flat lists of this element arm's scalars can never match a
+        typed scalar-element array and drop out up front. Per
+        candidate: one length filter + one (rows, L) gather + one
+        vectorized compare."""
+        numeric = isinstance(et, _NUMERIC)
+        boolean = isinstance(et, BooleanType)
+
+        def arm_ok(x):
+            if x is None:
+                return True
+            if numeric:
+                return isinstance(x, (int, float)) and not isinstance(x, bool)
+            if boolean:
+                return isinstance(x, bool)
+            return isinstance(x, str)
+
+        def to_key(x):
+            if x is None:
+                return None
+            if numeric:
+                try:
+                    return float(x) + 0.0  # -0.0 -> +0.0 (enum regime)
+                except OverflowError:
+                    return float("inf") if x > 0 else float("-inf")
+            return x
+
+        cands = [
+            [to_key(x) for x in v]
+            for v in vals
+            if isinstance(v, list) and all(arm_ok(x) for x in v)
+        ]
+        if not cands:
+            return lambda a: np.zeros(len(a), dtype=bool)
+
+        def run(a, cands=cands, numeric=numeric, boolean=boolean):
+            off, values = _offsets(a)
+            lens = off[1:] - off[:-1]
+            row_valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            ev = pc.is_valid(values).to_numpy(zero_copy_only=False)
+            if numeric:
+                # +0.0 then bit view: exactly double equality for
+                # non-NaN values, with -0.0 == 0.0 (enum regime); NaN
+                # rows can never match an enum literal and NaN's
+                # pattern equals only itself
+                fv = _as_f64(values).to_numpy(zero_copy_only=False) + 0.0
+                v = fv.view(np.uint64).copy()
+                v[~ev] = 0
+            elif boolean:
+                v = pc.fill_null(values, False).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                v = np.asarray(
+                    pc.fill_null(values, "").to_pylist(), dtype=object
+                )
+            out = np.zeros(len(a), dtype=bool)
+            for cand in cands:
+                L = len(cand)
+                rows = np.nonzero(row_valid & (lens == L))[0]
+                if rows.size == 0:
+                    continue
+                if L == 0:
+                    out[rows] = True
+                    continue
+                idx = off[:-1][rows][:, None] + np.arange(L)[None, :]
+                want_valid = np.array([x is not None for x in cand])
+                m = (ev[idx] == want_valid[None, :]).all(axis=1)
+                filled = [
+                    (0.0 if numeric else (False if boolean else ""))
+                    if x is None
+                    else x
+                    for x in cand
+                ]
+                if numeric:
+                    cvals = np.array(filled, dtype=np.float64).view(
+                        np.uint64
+                    )
+                    cvals = np.where(want_valid, cvals, np.uint64(0))
+                elif boolean:
+                    cvals = np.array(filled)
+                else:
+                    cvals = np.asarray(filled, dtype=object)
+                vm = ((v[idx] == cvals[None, :]) | ~want_valid[None, :]).all(
+                    axis=1
+                )
+                out[rows] |= m & vm
+            return out
+
+        return run
 
     def _switch(self, node: Switch, dtype: DataType) -> Ev:
         if isinstance(dtype, NullType):

@@ -17,7 +17,8 @@ from typing import Dict
 from jvst_spark.compiler.plan import CompiledSpec
 from jvst_spark.spec import nodes as N
 
-FORMAT_VERSION = 2  # v2: length-prefixed string canonicalization
+FORMAT_VERSION = 3  # v3: enum canon normalizes -0.0 (NUM_RANGE regime)
+# v2: length-prefixed string canonicalization
 
 _LEAF_FIELDS = {
     "Valid": (),

@@ -200,8 +200,12 @@ def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Valida
 
             return arr_unique
         if isinstance(n, EnumMatch):
+            # enum-canon regime: -0.0 == 0 at every depth (reference
+            # desugars enum numbers to NUM_RANGE double compares,
+            # src/validate_constraints.c:1140-1154) — unlike
+            # uniqueItems' raw-byte canon below
             vals = frozenset(n.canon_values)
-            return lambda v: canonicalize(v) in vals
+            return lambda v: canonicalize(v, neg_zero_distinct=False) in vals
         if isinstance(n, Ref):
             uri = n.uri
             if uri not in memo:

@@ -133,7 +133,9 @@ def _fields_sorted(dtype: StructType):
     return sorted(dtype.fields, key=lambda f: f.name)
 
 
-def canon_expr(col: Column, dtype: DataType) -> Column:
+def canon_expr(
+    col: Column, dtype: DataType, neg_zero_distinct: bool = True
+) -> Column:
     """Canonical serialization as a Column expression.
 
     Same equivalence classes as nodes.canonicalize (the UEM recipe,
@@ -141,13 +143,21 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
     order-preserving arrays, numbers as doubles, absent (null) struct
     fields skipped. Byte format is engine-local (Spark double->string
     differs from Python repr); only equality semantics are contractual.
+
+    `neg_zero_distinct=False` selects the enum/const regime where
+    -0.0 == 0.0 at every depth (reference NUM_RANGE double compare,
+    src/validate_constraints.c:1140-1154); the default keeps raw
+    double identity for uniqueItems (UEM raw-byte hashing).
     """
     if isinstance(dtype, NullType):
         return F.lit("z")
     if isinstance(dtype, BooleanType):
         out = F.when(col, F.lit("t")).otherwise(F.lit("f"))
     elif isinstance(dtype, _NUMERIC):
-        out = F.concat(F.lit("n:"), col.cast("double").cast("string"))
+        d = col.cast("double")
+        if not neg_zero_distinct:
+            d = d + F.lit(0.0)  # IEEE: -0.0 + 0.0 = +0.0, else identity
+        out = F.concat(F.lit("n:"), d.cast("string"))
     elif isinstance(dtype, StringType):
         # length-prefixed so delimiter-bearing strings can't collide
         # with the surrounding grammar (mirrors nodes.canonicalize)
@@ -155,7 +165,10 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
             F.lit("s"), F.length(col).cast("string"), F.lit(":"), col
         )
     elif isinstance(dtype, ArrayType):
-        inner = F.transform(col, lambda x: canon_expr(x, dtype.elementType))
+        inner = F.transform(
+            col,
+            lambda x: canon_expr(x, dtype.elementType, neg_zero_distinct),
+        )
         out = F.concat(F.lit("a["), F.concat_ws(",", inner), F.lit("]"))
     elif isinstance(dtype, StructType):
         parts = [
@@ -164,7 +177,7 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
             ).otherwise(
                 F.concat(
                     F.lit(f"s{len(f.name)}:{f.name}="),
-                    canon_expr(col[f.name], f.dataType),
+                    canon_expr(col[f.name], f.dataType, neg_zero_distinct),
                 )
             )
             for f in _fields_sorted(dtype)
@@ -182,7 +195,7 @@ def canon_expr(col: Column, dtype: DataType) -> Column:
             lambda e: F.concat(
                 F.lit("s"), F.length(e["key"]).cast("string"),
                 F.lit(":"), e["key"], F.lit("="),
-                canon_expr(e["value"], dtype.valueType),
+                canon_expr(e["value"], dtype.valueType, neg_zero_distinct),
             ),
         )
         out = F.concat(F.lit("o{"), F.concat_ws(",", inner), F.lit("}"))
@@ -493,9 +506,12 @@ class _Lowerer:
         ]
         if not lits:
             return _F()
-        target = canon_expr(col, dtype)
+        target = canon_expr(col, dtype, neg_zero_distinct=False)
         conds = [
-            target == canon_expr(_literal_to_column(v, dtype), dtype)
+            target
+            == canon_expr(
+                _literal_to_column(v, dtype), dtype, neg_zero_distinct=False
+            )
             for v in lits
         ]
         return reduce(lambda a, b: a | b, conds)

@@ -307,9 +307,11 @@ class EnumMatch(Node):
     """enum/const — deep equality against a fixed value set, compared on
     canonical serializations (jvst cnode_enum_translate,
     src/validate_constraints.c:1009-1171). `canon_values` holds
-    canonicalize()d strings, sorted + deduped; `raw_json` holds the
-    matching raw values as json.dumps strings (same order) for typed
-    lowering, which compares natively instead of via canon bytes."""
+    canonicalize(v, neg_zero_distinct=False) strings (the enum regime:
+    -0.0 == 0 at every depth, per the reference's NUM_RANGE [x,x]
+    desugaring), sorted + deduped; `raw_json` holds the matching raw
+    values as json.dumps strings (same order) for typed lowering,
+    which compares natively instead of via canon bytes."""
 
     canon_values: Tuple[str, ...]
     raw_json: Tuple[str, ...] = ()
@@ -357,7 +359,7 @@ _TYPE_RANK = {
 }
 
 
-def canonicalize(value) -> str:
+def canonicalize(value, neg_zero_distinct: bool = True) -> str:
     """Canonical byte serialization for deep equality.
 
     Re-expresses the reference's Unique Evaluation Machine recipe
@@ -365,6 +367,13 @@ def canonicalize(value) -> str:
     SORTED, arrays order-preserving, all numbers compared as doubles.
     Guarantees [1] == [1.0], {a:1,b:2} == {b:2,a:1}, [1,2] != [2,1],
     true != 1, [] != {}.
+
+    `neg_zero_distinct` selects between the reference's TWO number-
+    equality regimes: uniqueItems hashes raw double bytes (XXH64,
+    src/validate_uniq.c:43), so -0.0 != 0.0 (the default); enum/const
+    desugar every number to a NUM_RANGE [x, x] double comparison
+    (src/validate_constraints.c:1140-1154), where -0.0 == 0.0 — enum
+    callers pass False.
     """
     if value is None:
         return "z"
@@ -380,10 +389,8 @@ def canonicalize(value) -> str:
             d = math.inf if value > 0 else -math.inf
         if math.isnan(d):
             return "n:nan"
-        # NOTE: -0.0 stays distinct from 0.0 — the reference's UEM
-        # hashes the raw entry bytes (XXH64 over the double,
-        # src/validate_uniq.c:43), so the bit patterns land in
-        # different buckets and never compare equal
+        if not neg_zero_distinct:
+            d = d + 0.0  # IEEE: -0.0 + 0.0 = +0.0; everything else fixed
         return f"n:{d!r}"
     if isinstance(value, str):
         # length prefix keeps the serialization injective (the
@@ -392,13 +399,18 @@ def canonicalize(value) -> str:
         # ["x","y"] would flatten to the same bytes
         return f"s{len(value)}:{value}"
     if isinstance(value, (list, tuple)):
-        return "a[" + ",".join(canonicalize(v) for v in value) + "]"
+        return (
+            "a["
+            + ",".join(canonicalize(v, neg_zero_distinct) for v in value)
+            + "]"
+        )
     if isinstance(value, dict):
         items = sorted(value.items(), key=lambda kv: kv[0])
         return (
             "o{"
             + ",".join(
-                f"s{len(k)}:{k}=" + canonicalize(v) for k, v in items
+                f"s{len(k)}:{k}=" + canonicalize(v, neg_zero_distinct)
+                for k, v in items
             )
             + "}"
         )

@@ -515,7 +515,12 @@ def _enum_node(vals: list) -> EnumMatch:
 
     by_canon = {}
     for v in vals:
-        by_canon.setdefault(canonicalize(v), _json.dumps(v))
+        # enum equality is the reference's NUM_RANGE [x,x] double
+        # compare at every depth (-0.0 == 0), not the UEM's raw-byte
+        # regime — see canonicalize()
+        by_canon.setdefault(
+            canonicalize(v, neg_zero_distinct=False), _json.dumps(v)
+        )
     items = sorted(by_canon.items())
     return EnumMatch(
         tuple(c for c, _ in items), tuple(r for _, r in items)

@@ -98,16 +98,18 @@ class TestArrowKernelsDirect:
         from pyspark.sql.types import _parse_datatype_string
 
         # composite-element uniqueItems (deep canonicalization) and
-        # composite enums stay on the Column/pyeval paths
+        # object-valued enums stay on the Column/pyeval paths
         spec = compile_schema({"uniqueItems": True})
         assert not supports(
             spec.root,
             _parse_datatype_string("array<struct<a:bigint>>"),
             spec.defs,
         )
-        spec2 = compile_schema({"enum": [[1, 2]]})
+        spec2 = compile_schema({"enum": [{"a": 1}]})
         assert not supports(
-            spec2.root, _parse_datatype_string("array<bigint>"), spec2.defs
+            spec2.root,
+            _parse_datatype_string("struct<a:bigint>"),
+            spec2.defs,
         )
 
 
@@ -367,6 +369,54 @@ class TestArrowUniqueItems:
         self.check("boolean", pa.bool_(), [
             [True, False], [True, True], [None, False, None],
         ])
+
+    def test_array_enum_parity(self):
+        """Round-3: enum over array-of-scalars columns — deep double
+        equality (1 == 1.0, -0.0 == 0.0 per the reference's NUM_RANGE
+        enum desugaring; contrast uniqueItems' bit patterns), nulls
+        matched positionally, length-mismatch and non-list candidates
+        never match. Asserted against pyeval, the equality
+        authority."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        def check(schema, dtype_str, pa_type, values):
+            spec = compile_schema(schema)
+            dt = _parse_datatype_string(dtype_str)
+            assert supports(spec.root, dt, spec.defs), schema
+            ev = _Compiler(spec.defs).compile(spec.root, dt)
+            arr = pa.array(values, type=pa_type)
+            got = [bool(v) for v in ev(arr)]
+            pyv = compile_python(spec.root, spec.defs)
+            expect = [pyv(v) for v in values]
+            assert got == expect, (schema, values, got, expect)
+
+        check(
+            {"enum": [[1, 2], [3], [], [0, None], 5, "x"]},
+            "array<double>",
+            pa.list_(pa.float64()),
+            [[1.0, 2.0], [2.0, 1.0], [3.0], [], [0.0, None],
+             [None, 0.0], [1.0], [1.0, 2.0, 3.0], [-0.0, None],
+             [5.0], [None], [float("nan")]],
+        )
+        check(
+            {"enum": [[1, 2], [1.5]]},
+            "array<bigint>",
+            pa.list_(pa.int64()),
+            [[1, 2], [2, 1], [1], [None, 2]],
+        )
+        check(
+            {"enum": [["a", "b"], [], ["a", None], [1, "a"]]},
+            "array<string>",
+            pa.list_(pa.string()),
+            [["a", "b"], ["b", "a"], [], ["a", None], [None, "a"],
+             ["a"], ["1", "a"]],
+        )
+        check(
+            {"enum": [[True], [False, None]]},
+            "array<boolean>",
+            pa.list_(pa.bool_()),
+            [[True], [False], [False, None], [None, False], []],
+        )
 
     def test_composite_elements_stay_unsupported(self):
         from pyspark.sql.types import _parse_datatype_string
