@@ -422,8 +422,8 @@ class _Translator:
 
     def _string_constraints(self, raw: dict) -> Node:
         terms = []
-        lo = int(raw["minLength"]) if "minLength" in raw else 0
-        hi = int(raw["maxLength"]) if "maxLength" in raw else None
+        lo = _count(raw, "minLength") or 0
+        hi = _count(raw, "maxLength")
         if lo != 0 or hi is not None:
             terms.append(StrLength(lo, hi))
         if "pattern" in raw:
@@ -456,10 +456,14 @@ class _Translator:
             keys = raw["required"]
             if not isinstance(keys, list):
                 raise SchemaError("required must be an array")
+            if any(not isinstance(k, str) for k in keys):
+                # reference grammar: <add-required-property> takes a
+                # :string token; anything else is a parse error
+                raise SchemaError("required entries must be strings")
             if keys:
                 terms.append(ObjRequired(tuple(sorted(set(keys)))))
-        lo = int(raw["minProperties"]) if "minProperties" in raw else 0
-        hi = int(raw["maxProperties"]) if "maxProperties" in raw else None
+        lo = _count(raw, "minProperties") or 0
+        hi = _count(raw, "maxProperties")
         if lo != 0 or hi is not None:
             terms.append(PropRange(lo, hi))
         if "dependencies" in raw:
@@ -499,13 +503,33 @@ class _Translator:
             # additionalItems alone (no items) constrains nothing
         if "contains" in raw:
             terms.append(ArrContains(self.translate(raw["contains"], stack, ctx)))
-        lo = int(raw["minItems"]) if "minItems" in raw else 0
-        hi = int(raw["maxItems"]) if "maxItems" in raw else None
+        lo = _count(raw, "minItems") or 0
+        hi = _count(raw, "maxItems")
         if lo != 0 or hi is not None:
             terms.append(ItemRange(lo, hi))
         if raw.get("uniqueItems") is True:
             terms.append(ArrUnique())
         return _and(*terms)
+
+
+
+def _count(raw: dict, kw: str):
+    """Non-negative count keyword -> int (absent -> None).
+
+    The reference's parser rejects negative counts for every count
+    keyword at schema-compile time (parser.act <set-min-items> etc.,
+    "expected > 0") and truncates fractional values through a C
+    integer cast — int() matches that truncation for the accepted
+    (non-negative) range. Booleans are not numbers (the grammar takes
+    a :number token)."""
+    if kw not in raw:
+        return None
+    v = raw[kw]
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise SchemaError(f"{kw}: expected a number, got {v!r}")
+    if not v >= 0:
+        raise SchemaError(f"{kw}: expected > 0, got {v}")
+    return int(v)
 
 
 def _enum_node(vals: list) -> EnumMatch:

@@ -163,6 +163,26 @@ class TestTranslate:
         with pytest.raises(SchemaError):
             translate({"$ref": "http://elsewhere/schema"})
 
+    def test_count_keywords_reject_negatives(self):
+        """The reference's parser rejects negative counts for every
+        count keyword ('expected > 0', parser.act <set-min-items> etc.)
+        and truncates fractional values through a C integer cast."""
+        for kw in ("minLength", "maxLength", "minItems", "maxItems",
+                   "minProperties", "maxProperties"):
+            with pytest.raises(SchemaError):
+                translate({kw: -1})
+            with pytest.raises(SchemaError):
+                translate({kw: True})  # grammar takes a :number token
+            translate({kw: 0})       # zero is fine
+            translate({kw: 2.5})     # truncates like (ast_count)n
+
+    def test_required_entries_must_be_strings(self):
+        # <add-required-property> takes a :string token
+        with pytest.raises(SchemaError):
+            translate({"required": [1]})
+        with pytest.raises(SchemaError):
+            translate({"required": ["ok", None]})
+
 
 class TestSimplify:
     def test_and_short_circuit(self):
