@@ -400,21 +400,21 @@ class _Translator:
         lo = hi = None
         lo_excl = hi_excl = False
         if "minimum" in raw:
-            lo = float(raw["minimum"])
+            lo = _num(raw, "minimum")
         if "exclusiveMinimum" in raw:
-            v = float(raw["exclusiveMinimum"])
+            v = _num(raw, "exclusiveMinimum")
             if lo is None or v >= lo:
                 lo, lo_excl = v, True
         if "maximum" in raw:
-            hi = float(raw["maximum"])
+            hi = _num(raw, "maximum")
         if "exclusiveMaximum" in raw:
-            v = float(raw["exclusiveMaximum"])
+            v = _num(raw, "exclusiveMaximum")
             if hi is None or v <= hi:
                 hi, hi_excl = v, True
         if lo is not None or hi is not None:
             terms.append(NumRange(lo, hi, lo_excl, hi_excl))
         if "multipleOf" in raw:
-            d = float(raw["multipleOf"])
+            d = _num(raw, "multipleOf")
             if d <= 0:
                 raise SchemaError("multipleOf must be > 0")
             terms.append(NumMultipleOf(d))
@@ -427,7 +427,13 @@ class _Translator:
         if lo != 0 or hi is not None:
             terms.append(StrLength(lo, hi))
         if "pattern" in raw:
-            terms.append(StrMatch(_checked_pattern(str(raw["pattern"]))))
+            if not isinstance(raw["pattern"], str):
+                # reference grammar: <set-pattern> takes a :regexp
+                # (string) token — numbers are not coercible
+                raise SchemaError(
+                    f"pattern: expected a string, got {raw['pattern']!r}"
+                )
+            terms.append(StrMatch(_checked_pattern(raw["pattern"])))
         return _and(*terms)
 
     def _object_constraints(self, raw: dict, stack, ctx) -> Node:
@@ -435,6 +441,9 @@ class _Translator:
         props = raw.get("properties")
         pats = raw.get("patternProperties")
         addl = raw.get("additionalProperties")
+        for kw, v in (("properties", props), ("patternProperties", pats)):
+            if v is not None and not isinstance(v, dict):
+                raise SchemaError(f"{kw} must be an object")
         if props is not None or pats is not None or addl is not None:
             p = tuple(
                 sorted(
@@ -507,9 +516,32 @@ class _Translator:
         hi = _count(raw, "maxItems")
         if lo != 0 or hi is not None:
             terms.append(ItemRange(lo, hi))
+        if "uniqueItems" in raw and not isinstance(
+            raw["uniqueItems"], bool
+        ):
+            # reference grammar: :bool token
+            raise SchemaError("uniqueItems must be a boolean")
         if raw.get("uniqueItems") is True:
             terms.append(ArrUnique())
         return _and(*terms)
+
+
+
+def _num(raw: dict, kw: str):
+    """Number-valued keyword -> float (absent -> None). The reference's
+    grammar takes a :number token: booleans/strings are parse errors,
+    not coercible values."""
+    if kw not in raw:
+        return None
+    v = raw[kw]
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise SchemaError(f"{kw}: expected a number, got {v!r}")
+    try:
+        return float(v)
+    except OverflowError:
+        import math
+
+        return math.inf if v > 0 else -math.inf
 
 
 

@@ -176,6 +176,22 @@ class TestTranslate:
             translate({kw: 0})       # zero is fine
             translate({kw: 2.5})     # truncates like (ast_count)n
 
+    def test_keyword_value_types_enforced(self):
+        """The reference's typed grammar (parser.act) takes :number /
+        :string / :bool tokens per keyword — coercion is a parse
+        error, not a conversion."""
+        for sch in (
+            {"minimum": True}, {"exclusiveMinimum": True},
+            {"multipleOf": "2"}, {"pattern": 5},
+            {"uniqueItems": "yes"}, {"properties": []},
+            {"patternProperties": 3},
+        ):
+            with pytest.raises(SchemaError):
+                translate(sch)
+        # valid shapes still compile
+        translate({"minimum": 5, "pattern": "^a", "uniqueItems": False,
+                   "properties": {}})
+
     def test_required_entries_must_be_strings(self):
         # <add-required-property> takes a :string token
         with pytest.raises(SchemaError):
