@@ -289,6 +289,8 @@ class _Translator:
             return Invalid()
         if not isinstance(raw, dict):
             raise SchemaError(f"schema must be bool or object, got {type(raw)}")
+        if "definitions" in raw and not isinstance(raw["definitions"], dict):
+            raise SchemaError("definitions must be an object")
 
         # a subschema's $id opens a new resolution scope for its
         # children (draft-6 base-URI change); a plain-name fragment
@@ -491,6 +493,10 @@ class _Translator:
             dep = deps[key]
             absent = Not(ObjRequired((key,)))
             if isinstance(dep, list):
+                if any(not isinstance(d, str) for d in dep):
+                    raise SchemaError(
+                        "dependencies property-form entries must be strings"
+                    )
                 need = tuple(sorted(set([key] + list(dep))))
                 out.append(Or((ObjRequired(need), absent)))
             else:
@@ -507,9 +513,17 @@ class _Translator:
                 a = Valid() if addl_items is None else self.translate(addl_items, stack, ctx)
                 terms.append(ArrItems(pos, a))
             elif items is not None:
-                # single-schema form: additionalItems is ignored per spec
+                # single-schema form: additionalItems is ignored per
+                # spec, but must still be a well-formed schema
+                if addl_items is not None and not isinstance(
+                    addl_items, (bool, dict)
+                ):
+                    raise SchemaError("additionalItems must be a schema")
                 terms.append(ArrItems((), self.translate(items, stack, ctx)))
-            # additionalItems alone (no items) constrains nothing
+            elif not isinstance(addl_items, (bool, dict)):
+                # additionalItems alone constrains nothing, but is
+                # still schema-positioned
+                raise SchemaError("additionalItems must be a schema")
         if "contains" in raw:
             terms.append(ArrContains(self.translate(raw["contains"], stack, ctx)))
         lo = _count(raw, "minItems") or 0

@@ -191,6 +191,14 @@ class TestTranslate:
         # valid shapes still compile
         translate({"minimum": 5, "pattern": "^a", "uniqueItems": False,
                    "properties": {}})
+        for sch in (
+            {"dependencies": {"a": [1]}}, {"additionalItems": []},
+            {"definitions": 5}, {"items": {}, "additionalItems": 3},
+        ):
+            with pytest.raises(SchemaError):
+                translate(sch)
+        translate({"dependencies": {"a": ["b"]}})
+        translate({"items": [{}], "additionalItems": False})
 
     def test_required_entries_must_be_strings(self):
         # <add-required-property> takes a :string token
