@@ -148,6 +148,31 @@ class ValidationPlan:
         df = ensure_min_parallelism(df)
         cols = columns or [c for c in df.columns]
         row_type = StructType([df.schema[c] for c in cols])
+
+        # Compile-once cache: lowering the flagship program costs
+        # ~5,200 py4j round trips (~1.1s of driver time per build,
+        # profiled) yet depends only on (spec, column list, row type).
+        # Columns are immutable unresolved expression trees, reusable
+        # across DataFrames — but they hold py4j refs into one JVM, so
+        # the cache lives ON the SparkSession (dies with it; a new
+        # session rebuilds). This is the reference's compile-once /
+        # run-per-document split (src/main.c:372-417) applied to the
+        # driver.
+        spark = df.sparkSession
+        cache = getattr(spark, "_jvst_typed_expr_cache", None)
+        if cache is None:
+            cache = {}
+            spark._jvst_typed_expr_cache = cache
+        key = (
+            repr(self.spec.root),
+            repr(sorted(self.spec.defs.items())),
+            tuple(cols),
+            row_type.json(),
+        )
+        packed = cache.get(key)
+        if packed is not None:
+            return ValidationResult(self._project(df, id_col, packed))
+
         row_col = F.struct(*[F.col(c).alias(c) for c in cols])
         simples, groups = build_violation_program(
             self.spec.root, row_type, row_col, "$", self.spec.defs
@@ -215,7 +240,15 @@ class ValidationPlan:
         # stage the projection: the packed expression references source
         # columns, so aliasing id_col in the same select would shadow
         # them (lateral column alias resolution)
-        base = df.select(
+        cache[key] = packed
+        return ValidationResult(self._project(df, id_col, packed))
+
+    @staticmethod
+    def _project(df: DataFrame, id_col: str, packed) -> DataFrame:
+        """Two-stage projection around the cached `packed` expression
+        (staged so aliasing id_col cannot shadow the source columns
+        packed references — lateral column alias resolution)."""
+        return df.select(
             F.col(id_col).alias("__jvst_id"),
             F.spark_partition_id().alias("__jvst_pid"),
             packed.alias("_r"),
@@ -225,7 +258,6 @@ class ValidationPlan:
             F.col("_r.valid").alias("valid"),
             F.col("_r.vios").alias("_violations"),
         )
-        return ValidationResult(base)
 
     # -------------------------------------------- dynamic JSON mode --
 
