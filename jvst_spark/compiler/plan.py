@@ -279,6 +279,31 @@ class ValidationPlan:
         # splits runs 2 of N cores; no-op on wide inputs
         df = ensure_min_parallelism(df)
 
+        # compile-once cache (same scheme as apply_typed: ~1.1s of
+        # py4j chatter per build, expressions depend only on
+        # (spec, json_col), session-scoped so JVM refs never go stale)
+        spark = df.sparkSession
+        cache = getattr(spark, "_jvst_json_expr_cache", None)
+        if cache is None:
+            cache = {}
+            spark._jvst_json_expr_cache = cache
+        key = (
+            repr(self.spec.root),
+            repr(sorted(self.spec.defs.items())),
+            json_col,
+        )
+        cached = cache.get(key)
+        if cached is not None:
+            valid_col, vio_col = cached
+            return ValidationResult(
+                df.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    valid_col,
+                    vio_col,
+                )
+            )
+
         validator = compile_python(self.spec.root, self.spec.defs)
         explainer = compile_explain(self.spec.root, self.spec.defs)
 
@@ -331,18 +356,21 @@ class ValidationPlan:
         valid_expr = (
             fast(F.col(json_col)) if fast is not None else (F.size(vio) == 0)
         )
+        valid_col = valid_expr.alias("valid")
+        vio_col = F.transform(
+            vio,
+            lambda x: F.struct(
+                x["code"].alias("code"),
+                x["path"].alias("path"),
+                F.element_at(msg_map, x["code"]).alias("message"),
+            ),
+        ).alias("_violations")
+        cache[key] = (valid_col, vio_col)
         base = df.select(
             F.col(id_col).alias("doc_id"),
             F.spark_partition_id().alias("partition_id"),
-            valid_expr.alias("valid"),
-            F.transform(
-                vio,
-                lambda x: F.struct(
-                    x["code"].alias("code"),
-                    x["path"].alias("path"),
-                    F.element_at(msg_map, x["code"]).alias("message"),
-                ),
-            ).alias("_violations"),
+            valid_col,
+            vio_col,
         )
         return ValidationResult(base)
 
