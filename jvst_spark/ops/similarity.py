@@ -207,6 +207,7 @@ def ivf_assign(
     n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    widen: bool = True,
 ) -> DataFrame:
     """(vid, cid, rn): each vector's n_probes nearest centroids by
     cosine (rounded to 6 so the DuckDB oracle tie-breaks identically;
@@ -235,7 +236,7 @@ def ivf_assign(
     # C interpreted dot products per row are CPU-bound — don't let a
     # narrow input pin them to its 1-2 size-based splits
     base = (
-        ensure_min_parallelism(df)
+        (ensure_min_parallelism(df) if widen else df)
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
         .select(
@@ -344,7 +345,11 @@ def ivf_ann_topk(
     n_assign = ivf_assign(emb, cents, 1, id_col, vec_col).select(
         F.col("vid").alias("n_id"), "cid"
     )
-    q_assign = ivf_assign(queries, cents, n_probes, id_col, vec_col).select(
+    # the probe set is small by construction: widening it only adds a
+    # pointless shuffle + 32-task scheduling overhead
+    q_assign = ivf_assign(
+        queries, cents, n_probes, id_col, vec_col, widen=False
+    ).select(
         F.col("vid").alias("q_id"), "cid"
     )
     cand = (
@@ -495,11 +500,13 @@ def lsh_ann_topk(
         "_tables array<struct<tbl:int,planes:array<array<double>>>>",
     )
 
-    def with_buckets(df, prefix):
+    def with_buckets(df, prefix, widen=True):
         # n_tables*n_planes interpreted dot products per row: CPU-
         # bound, so a narrow single-file input must not cap the scan
-        # at its 1-2 size-based splits
-        df = ensure_min_parallelism(df)
+        # at its 1-2 size-based splits (the small probe set skips the
+        # widening — it would only add scheduling overhead)
+        if widen:
+            df = ensure_min_parallelism(df)
         tb = F.transform(
             F.col("_tables"),
             lambda tab: F.struct(
@@ -539,7 +546,7 @@ def lsh_ann_topk(
         )
 
     cand = (
-        with_buckets(queries, "q")
+        with_buckets(queries, "q", widen=False)
         .join(with_buckets(emb, "n"), ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
