@@ -141,6 +141,21 @@ class CheckpointedValidation:
                 part = part.filter(bucket_col.isin(pending))
             res = self.plan.apply_typed(part, id_col=self.id_col)
             out_root = os.path.join(self.out_dir, "verdicts")
+            # A pending bucket's existing slice is stale BY DEFINITION
+            # (pending == its manifest is missing or mismatched), and
+            # dynamic partition overwrite only replaces partitions that
+            # receive new rows — a pending bucket whose input shrank to
+            # zero rows would otherwise keep its stale verdicts on disk
+            # while its fresh manifest says n_docs=0. Delete pending
+            # slices up front; crash-safety is unchanged (these buckets
+            # recompute on restart either way because the manifest is
+            # what gates skipping, and it's written last).
+            import shutil
+
+            for b in pending:
+                slice_dir = os.path.join(out_root, f"bucket={b}")
+                if os.path.isdir(slice_dir):
+                    shutil.rmtree(slice_dir)
             frame = res.frame.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64(F.col("doc_id")), self.n_buckets),
@@ -153,21 +168,29 @@ class CheckpointedValidation:
             )
             # every pending manifest derives from ONE aggregation over
             # the just-written slices (bucket-pruned scan via the
-            # partition column)
+            # partition column). If NO pending bucket received rows the
+            # write emits no data files — skip the read (schema
+            # inference over zero files throws) and record zeros.
             spark = res.frame.sparkSession
             from jvst_spark.io.sources import read_buckets
 
-            stats = {
-                int(r["bucket"]): r
-                for r in read_buckets(spark, out_root, pending)
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.col("valid").cast("long")).alias("v"),
-                    F.sum(F.size("_violations").cast("long")).alias("x"),
-                )
-                .collect()
-            }
+            wrote_any = any(
+                os.path.isdir(os.path.join(out_root, f"bucket={b}"))
+                for b in pending
+            )
+            stats = {}
+            if wrote_any:
+                stats = {
+                    int(r["bucket"]): r
+                    for r in read_buckets(spark, out_root, pending)
+                    .groupBy("bucket")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.col("valid").cast("long")).alias("v"),
+                        F.sum(F.size("_violations").cast("long")).alias("x"),
+                    )
+                    .collect()
+                }
             now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
             for b in pending:
                 r = stats.get(b)

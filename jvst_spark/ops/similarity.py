@@ -257,8 +257,20 @@ def ivf_assign(
     top = F.slice(
         F.array_sort(
             scored_arr,
-            # sim desc, centroid id asc — the window's exact tie-break
-            lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+            # sim desc, centroid id asc — the window's exact tie-break.
+            # Explicit null arms: a null similarity (null or zero-norm
+            # embedding makes the cosine division null) sorts after
+            # every scored centroid, deterministically, matching the
+            # old desc window's nulls-last placement. Without them all
+            # when-arms fall through to 0 and degenerate vectors tie
+            # with everything (nondeterministic top-n_probes).
+            lambda l, r: F.when(l["s"].isNull() & r["s"].isNull(),
+                                F.when(l["cid"] < r["cid"], F.lit(-1))
+                                .when(l["cid"] > r["cid"], F.lit(1))
+                                .otherwise(F.lit(0)))
+            .when(l["s"].isNull(), F.lit(1))
+            .when(r["s"].isNull(), F.lit(-1))
+            .when(l["s"] > r["s"], F.lit(-1))
             .when(l["s"] < r["s"], F.lit(1))
             .when(l["cid"] < r["cid"], F.lit(-1))
             .when(l["cid"] > r["cid"], F.lit(1))

@@ -574,7 +574,7 @@ def _count(raw: dict, kw: str):
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         raise SchemaError(f"{kw}: expected a number, got {v!r}")
     if not v >= 0:
-        raise SchemaError(f"{kw}: expected > 0, got {v}")
+        raise SchemaError(f"{kw}: expected >= 0, got {v}")
     return int(v)
 
 

@@ -87,6 +87,42 @@ class TestCheckpointedValidation:
             "per-bucket rescans are back?"
         )
 
+    def test_shrunk_bucket_drops_stale_slice(self, spark, plan, tmp_path):
+        """Dynamic partition overwrite only replaces partitions that
+        receive rows — a pending bucket whose input shrank to ZERO rows
+        must not keep its stale verdicts slice on disk while the fresh
+        manifest records n_docs=0 (advice r3)."""
+        df = spans_from_documents(spark, SF_DIR)
+        ck = CheckpointedValidation(plan, str(tmp_path), n_buckets=4)
+        ck.run(df, input_fingerprint="fp-1")
+        # new fingerprint invalidates everything; shrink the input so
+        # one bucket receives no rows at all
+        keep = df.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), 4) != F.lit(2)
+        )
+        r = ck.run(keep, input_fingerprint="fp-2")
+        by_bucket = {b.bucket: b for b in r}
+        assert by_bucket[2].n_docs == 0
+        # no stale slice for the now-empty bucket
+        assert not os.path.isdir(
+            os.path.join(str(tmp_path), "verdicts", "bucket=2")
+        )
+        # direct readers agree with the manifests
+        out = spark.read.parquet(os.path.join(str(tmp_path), "verdicts"))
+        assert out.count() == sum(b.n_docs for b in r)
+
+    def test_all_buckets_empty_first_run(self, spark, plan, tmp_path):
+        """A first run over an empty input writes no data files; the
+        stats aggregation must be skipped, not crash with 'Unable to
+        infer schema' (advice r3)."""
+        df = spans_from_documents(spark, SF_DIR).filter(F.lit(False))
+        ck = CheckpointedValidation(plan, str(tmp_path), n_buckets=2)
+        r = ck.run(df, input_fingerprint="fp-empty")
+        assert [(b.skipped, b.n_docs) for b in r] == [(False, 0)] * 2
+        # resume still skips via the recorded manifests
+        r2 = ck.run(df, input_fingerprint="fp-empty")
+        assert [b.skipped for b in r2] == [True, True]
+
     def test_spec_hash_stable(self):
         a = spec_hash(compile_schema(FLAGSHIP_SPEC).__class__(
             compile_schema(FLAGSHIP_SPEC).root,
