@@ -792,6 +792,392 @@ def _chk_value(node: Node) -> None:
     raise _Unsupported(f"value-level node {type(node).__name__}")
 
 
+# ---- violation-row (explain) lowering ------------------------------
+#
+# Round-4: the *violations* output lowers through the same variant
+# machinery as the verdict, closing the last per-row-Python path in the
+# engine (the reference's output IS coded violations — every IR INVALID
+# carries a code, src/validate_ir.c:4231-4259, vocabulary
+# src/validate_ir.h:134-163). Semantics mirror pyeval.compile_explain
+# exactly (same codes, same paths, same canonical order):
+#   And        -> concatenation of term violations
+#   Or/Xor/Not -> one INVALID_SPLIT_CONDITION at the subtree's path
+#   ObjPropSet -> document key order (json_object_keys preserves it)
+#   ArrItems   -> per-element rows at $path[i]
+# The explain expression only ever evaluates in the lazy ELSE branch of
+# the two-tier packing (valid rows never pay for it), so it favors
+# clarity over the two-phase fusion the boolean array path uses.
+
+_VIO_ARR_T = "array<struct<code:int,path:string,message:string>>"
+
+
+def _empty_vio() -> Column:
+    return F.array().cast(_VIO_ARR_T)
+
+
+def _vio1(code: int, path: Column) -> Column:
+    from jvst_spark import errors as E
+
+    return F.array(
+        F.struct(
+            F.lit(code).cast("int").alias("code"),
+            path.alias("path"),
+            F.lit(E.invalid_msg(code)).alias("message"),
+        )
+    )
+
+
+def _gate_vio(cond: Column, code: int, path: Column) -> Column:
+    """Single violation at `path` when `cond` is not True (null-safe)."""
+    return F.when(F.coalesce(cond, _F()), _empty_vio()).otherwise(
+        _vio1(code, path)
+    )
+
+
+def _explain_combinators(node: Node, boolf, leaf_explain, path: Column) -> Column:
+    """pyeval's combinator semantics: And concatenates term violations
+    in canonical order; Or/Xor/Not collapse to one SPLIT_CONDITION row
+    when the (boolean-lowered) subtree fails."""
+    from jvst_spark import errors as E
+
+    if isinstance(node, Valid):
+        return _empty_vio()
+    if isinstance(node, Invalid):
+        return _vio1(node.code, path)
+    if isinstance(node, And):
+        parts = [
+            _explain_combinators(t, boolf, leaf_explain, path)
+            for t in node.terms
+        ]
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+    if isinstance(node, (Or, Xor, Not)):
+        return _gate_vio(boolf(node), E.INVALID_SPLIT_CONDITION, path)
+    return leaf_explain(node)
+
+
+def _explain_number(node: Node, d: Column, path: Column) -> Column:
+    from jvst_spark import errors as E
+
+    def leaf(n: Node) -> Column:
+        code = (
+            E.INVALID_NUMBER
+            if isinstance(n, NumRange)
+            else E.INVALID_NOT_INTEGER
+            if isinstance(n, NumInteger)
+            else E.INVALID_NOT_MULTIPLE
+            if isinstance(n, NumMultipleOf)
+            else E.INVALID_MATCH_CASE
+        )
+        return _gate_vio(_number_checks(n, d), code, path)
+
+    return _explain_combinators(
+        node, lambda n: _number_checks(n, d), leaf, path
+    )
+
+
+def _explain_string(node: Node, col: Column, path: Column) -> Column:
+    from jvst_spark import errors as E
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, StrLength):
+            ln = F.length(col)
+            expr = F.when(ln < F.lit(n.lo), _vio1(E.INVALID_LENGTH_TOO_SHORT, path))
+            if n.hi is not None:
+                expr = expr.when(
+                    ln > F.lit(n.hi), _vio1(E.INVALID_LENGTH_TOO_LONG, path)
+                )
+            return expr.otherwise(_empty_vio())
+        return _gate_vio(_string_checks(n, col), E.INVALID_MATCH_CASE, path)
+
+    return _explain_combinators(
+        node, lambda n: _string_checks(n, col), leaf, path
+    )
+
+
+def _explain_trivial(node: Node, arm: str, val: Optional[_Value], path: Column) -> Column:
+    from jvst_spark import errors as E
+
+    def leaf(n: Node) -> Column:
+        return _gate_vio(
+            _trivial_checks(n, arm, val), E.INVALID_MATCH_CASE, path
+        )
+
+    return _explain_combinators(
+        node, lambda n: _trivial_checks(n, arm, val), leaf, path
+    )
+
+
+def _explain_array(node: Node, val: _Value, path: Column) -> Column:
+    from jvst_spark import errors as E
+
+    elems = val.elems()
+
+    def items_explain(n: ArrItems) -> Column:
+        def per_elem(e: Column, i: Column) -> Column:
+            ep = F.concat(
+                path, F.lit("["), i.cast("string"), F.lit("]")
+            )
+
+            def body(txt: Column) -> Column:
+                ev = _Value(e, "$", text=txt)
+                expr = _explain_value(n.additional, ev, ep)
+                for idx in range(len(n.positional) - 1, -1, -1):
+                    expr = F.when(
+                        i == F.lit(idx),
+                        _explain_value(n.positional[idx], ev, ep),
+                    ).otherwise(expr)
+                return expr
+
+            return F.element_at(
+                F.transform(F.array(F.to_json(e)), body), 1
+            )
+
+        return F.flatten(F.transform(elems, per_elem))
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, ItemRange):
+            ln = F.size(elems)
+            expr = F.when(
+                ln < F.lit(n.lo), _vio1(E.INVALID_TOO_FEW_ITEMS, path)
+            )
+            if n.hi is not None:
+                expr = expr.when(
+                    ln > F.lit(n.hi), _vio1(E.INVALID_TOO_MANY_ITEMS, path)
+                )
+            return expr.otherwise(_empty_vio())
+        if isinstance(n, ArrItems):
+            return items_explain(n)
+        if isinstance(n, ArrContains):
+            hit = F.exists(
+                elems, lambda e: _sub_cond(n.schema, e, F.to_json(e))
+            )
+            return _gate_vio(hit, E.INVALID_UNSATISFIED_CONTAINS, path)
+        if isinstance(n, ArrUnique):
+            uniq = F.size(elems) == F.size(
+                F.array_distinct(
+                    F.transform(elems, lambda e: _canon_elem_text(F.to_json(e)))
+                )
+            )
+            return _gate_vio(uniq, E.INVALID_NOT_UNIQUE, path)
+        raise _Unsupported(f"array explain leaf {type(n).__name__}")
+
+    return _explain_combinators(
+        node, lambda n: _array_checks(n, val), leaf, path
+    )
+
+
+def _explain_object(node: Node, val: _Value, path: Column) -> Column:
+    return F.element_at(
+        F.transform(
+            F.array(val.keys()),
+            lambda ks: _explain_object_with_keys(node, val, ks, path),
+        ),
+        1,
+    )
+
+
+def _explain_object_with_keys(
+    node: Node, val: _Value, keys: Column, path: Column
+) -> Column:
+    from jvst_spark import errors as E
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, ObjRequired):
+            cond = _T()
+            for k in n.keys:
+                cond = cond & F.array_contains(keys, k)
+            return _gate_vio(
+                cond, E.INVALID_MISSING_REQUIRED_PROPERTIES, path
+            )
+        if isinstance(n, PropRange):
+            sz = F.size(keys)
+            expr = F.when(
+                sz < F.lit(n.lo), _vio1(E.INVALID_TOO_FEW_PROPS, path)
+            )
+            if n.hi is not None:
+                expr = expr.when(
+                    sz > F.lit(n.hi), _vio1(E.INVALID_TOO_MANY_PROPS, path)
+                )
+            return expr.otherwise(_empty_vio())
+        if isinstance(n, ObjPropNames):
+            arm = (
+                dict(n.name_schema.arms)["string"]
+                if isinstance(n.name_schema, Switch)
+                else n.name_schema
+            )
+            bad = F.filter(
+                keys, lambda k: ~F.coalesce(_string_checks(arm, k), _F())
+            )
+            return F.transform(
+                bad,
+                lambda k: F.struct(
+                    F.lit(E.INVALID_BAD_PROPERTY_NAME).cast("int").alias("code"),
+                    F.concat(path, F.lit("."), k).alias("path"),
+                    F.lit(
+                        E.invalid_msg(E.INVALID_BAD_PROPERTY_NAME)
+                    ).alias("message"),
+                ),
+            )
+        if isinstance(n, ObjPropSet):
+            pat_gates = [
+                redialect.translate(pat, "java") for pat, _ in n.patterns
+            ]
+
+            def per_key(k: Column) -> Column:
+                # unmatched-key default (additional is Valid or Invalid
+                # in the supported subset; patterns are Valid gates)
+                if isinstance(n.additional, Invalid):
+                    default = _vio1(
+                        n.additional.code, F.concat(path, F.lit("."), k)
+                    )
+                    if pat_gates:
+                        patmatch = _F()
+                        for jp in pat_gates:
+                            patmatch = patmatch | k.rlike(jp)
+                        default = F.when(patmatch, _empty_vio()).otherwise(
+                            default
+                        )
+                else:
+                    default = _empty_vio()
+                expr = default
+                for name, sub in n.props:
+                    expr = F.when(
+                        k == F.lit(name),
+                        _explain_value(
+                            sub,
+                            val.child(name),
+                            F.concat(path, F.lit("." + name)),
+                        ),
+                    ).otherwise(expr)
+                return expr
+
+            return F.flatten(F.transform(keys, per_key))
+        raise _Unsupported(f"object explain leaf {type(n).__name__}")
+
+    return _explain_combinators(
+        node, lambda n: _lower_object_with_keys(n, val, keys), leaf, path
+    )
+
+
+def _explain_switch(node: Switch, val: _Value, path: Column) -> Column:
+    arms = dict(node.arms)
+    if val.text is not None and not _needs_text(node):
+        val = _Value(val._v, val._path)
+    has_text = val.text is not None
+
+    def body(bound: _Value, typ: Column) -> Column:
+        res = _empty_vio()  # unreachable: strict guard rejects non-JSON
+        res = F.when(
+            typ == "VOID", _explain_trivial(arms["null"], "null", bound, path)
+        ).otherwise(res)
+        res = F.when(
+            typ == "BOOLEAN",
+            _explain_trivial(arms["boolean"], "boolean", bound, path),
+        ).otherwise(res)
+        res = F.when(
+            _is_num_type(typ),
+            _explain_number(arms["number"], bound.dbl(), path),
+        ).otherwise(res)
+        res = F.when(
+            typ == "STRING",
+            _explain_string(arms["string"], bound.s(), path),
+        ).otherwise(res)
+        res = F.when(
+            typ.startswith("ARRAY"),
+            _explain_array(arms["array"], bound, path),
+        ).otherwise(res)
+        if has_text:
+            obj = _explain_object(arms["object"], bound, path)
+        else:
+            obj = _explain_trivial(arms["object"], "object", None, path)
+        res = F.when(
+            typ.startswith("OBJECT") | typ.startswith("STRUCT"), obj
+        ).otherwise(res)
+        return res
+
+    return _let_typ(val, body)
+
+
+def _explain_value(node: Node, val: _Value, path: Column) -> Column:
+    from jvst_spark import errors as E
+
+    def leaf(n: Node) -> Column:
+        if isinstance(n, EnumMatch):
+            return _gate_vio(
+                _lower_value(n, val), E.INVALID_MATCH_CASE, path
+            )
+        if isinstance(n, Switch):
+            return _explain_switch(n, val, path)
+        raise _Unsupported(f"value explain leaf {type(n).__name__}")
+
+    return _explain_combinators(
+        node, lambda n: _lower_value(n, val), leaf, path
+    )
+
+
+def try_lower_full(spec) -> Optional[Callable[[Column], Column]]:
+    """CompiledSpec -> (json string Column -> exploded
+    struct<valid:boolean, vios:array<struct<code,path,message>>>),
+    or None when the spec needs the general pyeval path. Supported
+    subset == try_lower's (same structural check), so a spec either
+    gets the fully-JVM plan (verdict AND violations, zero Python) or
+    falls back to pyeval for both.
+
+    Shape: the parsed variant is let-bound once; `valid` is the strict
+    guard + boolean lowering; violations sit in the lazy ELSE of a
+    CASE WHEN on the let-bound verdict — valid rows never evaluate the
+    explain expression (the two-tier layout measured on the typed
+    path). The explode is a Generate barrier: the struct materializes
+    once, downstream field reads are attribute refs."""
+    from jvst_spark import errors as E
+
+    if spec.defs:
+        return None
+    root = spec.root
+    try:
+        _chk_value(root)
+    except _Unsupported:
+        return None
+
+    def build(col: Column) -> Column:
+        def outer(v: Column) -> Column:
+            val = _Value(v, "$", text=col)
+            strict = (
+                F.json_array_length(F.concat(F.lit("["), col, F.lit("]")))
+                == 1
+            ) & (v.cast("string").isNotNull() | F.is_variant_null(v))
+            valid_e = F.coalesce(strict & _lower_value(root, val), _F())
+
+            def inner(ok: Column) -> Column:
+                explain = _explain_value(root, val, F.lit("$"))
+                # invariant: invalid => >=1 violation row (pyeval's
+                # wrapper falls back to UNEXPECTED_TOKEN likewise)
+                nonempty = F.element_at(
+                    F.transform(
+                        F.array(explain),
+                        lambda a: F.when(F.size(a) > 0, a).otherwise(
+                            _vio1(E.INVALID_UNEXPECTED_TOKEN, F.lit("$"))
+                        ),
+                    ),
+                    1,
+                )
+                vio = F.when(ok, _empty_vio()).otherwise(
+                    F.when(
+                        ~F.coalesce(strict, _F()),
+                        _vio1(E.INVALID_JSON, F.lit("$")),
+                    ).otherwise(nonempty)
+                )
+                return F.struct(ok.alias("valid"), vio.alias("vios"))
+
+            return F.element_at(F.transform(F.array(valid_e), inner), 1)
+
+        return F.explode(
+            F.transform(F.array(F.try_parse_json(col)), outer)
+        )
+
+    return build
+
+
 def try_lower(spec) -> Optional[Callable[[Column], Column]]:
     """CompiledSpec -> (json string Column -> boolean verdict Column),
     or None when the spec needs the general pyeval path. The returned

@@ -294,7 +294,10 @@ class ValidationPlan:
         )
         cached = cache.get(key)
         if cached is not None:
-            valid_col, vio_col = cached
+            kind, payload = cached
+            if kind == "jvm":
+                return ValidationResult(self._project(df, id_col, payload))
+            valid_col, vio_col = payload
             return ValidationResult(
                 df.select(
                     F.col(id_col).alias("doc_id"),
@@ -304,6 +307,25 @@ class ValidationPlan:
                 )
             )
 
+        # JVM fast path (round 4): when the spec fits the variant
+        # lowering, the verdict AND the violation rows are pure Column
+        # expressions — no Python anywhere in the plan (the reference's
+        # output IS coded violations, src/validate_ir.h:134-163, so the
+        # 100 TB violations path must be vectorized too). Two-tier
+        # packing as in apply_typed: violations evaluate only in the
+        # lazy ELSE for invalid rows.
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        fast_full = try_lower_full(self.spec)
+        if fast_full is not None:
+            packed = fast_full(F.col(json_col))
+            cache[key] = ("jvm", packed)
+            return ValidationResult(self._project(df, id_col, packed))
+
+        # general fallback: the compiled-Python closure inside an
+        # Arrow-batched pandas UDF (authoritative for specs the variant
+        # lowering can't express: $ref, composite enums, non-boolean
+        # additionalProperties, ...)
         validator = compile_python(self.spec.root, self.spec.defs)
         explainer = compile_explain(self.spec.root, self.spec.defs)
 
@@ -345,18 +367,9 @@ class ValidationPlan:
             ]
         )
         vio = violations_udf(F.col(json_col))
-        # JVM fast path: when the spec fits Spark's JSON/variant
-        # builtins, the verdict is a pure Column expression — reading
-        # verdicts() then prunes the pandas-UDF column entirely and no
-        # Python runs (the 100 TB shape). pyeval stays authoritative
-        # for violations and for unsupported specs.
-        from jvst_spark.compiler.json_builtin import try_lower
-
-        fast = try_lower(self.spec)
-        valid_expr = (
-            fast(F.col(json_col)) if fast is not None else (F.size(vio) == 0)
-        )
-        valid_col = valid_expr.alias("valid")
+        # (try_lower_full covers exactly the specs try_lower covers, so
+        # on this branch the verdict derives from the explainer's rows)
+        valid_col = (F.size(vio) == 0).alias("valid")
         vio_col = F.transform(
             vio,
             lambda x: F.struct(
@@ -365,7 +378,7 @@ class ValidationPlan:
                 F.element_at(msg_map, x["code"]).alias("message"),
             ),
         ).alias("_violations")
-        cache[key] = (valid_col, vio_col)
+        cache[key] = ("udf", (valid_col, vio_col))
         base = df.select(
             F.col(id_col).alias("doc_id"),
             F.spark_partition_id().alias("partition_id"),

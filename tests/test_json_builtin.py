@@ -460,3 +460,197 @@ class TestFastPathParity:
         )
         vio = plan.apply_json(df, "body").violations().collect()
         assert {r["doc_id"] for r in vio} == {"a"}
+
+
+def _pyeval_violations(spec, txt):
+    """Reference behavior of the dynamic path on one document: the
+    exact wrapper semantics of plan.apply_json's pandas-UDF branch
+    (INVALID_JSON on null/malformed/dup-keys, explain rows otherwise,
+    UNEXPECTED_TOKEN fallback when explain is empty but invalid)."""
+    from jvst_spark import errors as E
+    from jvst_spark.compiler.plan import _bad_const, _no_dup_pairs
+    from jvst_spark.compiler.pyeval import compile_explain
+
+    if txt is None:
+        return [(E.INVALID_JSON, "$")]
+    try:
+        doc = json.loads(
+            txt, parse_constant=_bad_const, object_pairs_hook=_no_dup_pairs
+        )
+    except (ValueError, RecursionError):
+        return [(E.INVALID_JSON, "$")]
+    pyv = compile_python(spec.root, spec.defs)
+    ex = compile_explain(spec.root, spec.defs)
+    try:
+        if pyv(doc):
+            return []
+        return ex(doc) or [(E.INVALID_UNEXPECTED_TOKEN, "$")]
+    except (OverflowError, RecursionError, ValueError):
+        return [(E.INVALID_UNEXPECTED_TOKEN, "$")]
+
+
+class TestExplainLowering:
+    """Round-4: violation ROWS lower through the variant fast path —
+    codes, paths, and canonical order must match pyeval's explainer
+    exactly, with zero Python in the violations plan."""
+
+    def _run(self, spark, schema, docs):
+        plan = ValidationPlan(compile_schema(schema))
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(docs)], ["doc_id", "body"]
+        )
+        res = plan.apply_json(df, "body")
+        return {
+            int(r["doc_id"]): (
+                r["valid"],
+                [(v["code"], v["path"]) for v in r["_violations"]],
+            )
+            for r in res.frame.collect()
+        }
+
+    def _check(self, spark, schema, docs):
+        spec = compile_schema(schema)
+        got = self._run(spark, schema, docs)
+        for i, d in enumerate(docs):
+            want = _pyeval_violations(spec, d)
+            assert got[i] == (len(want) == 0, want), (schema, d, got[i], want)
+
+    def test_props_spec_explain_parity(self, spark):
+        self._check(spark, PROPS_SPEC, HOSTILE_DOCS)
+
+    def test_nested_spec_explain_parity(self, spark):
+        self._check(spark, NESTED_SPEC, NESTED_DOCS)
+
+    def test_array_spec_explain_parity(self, spark):
+        schema = {
+            "type": "array",
+            "minItems": 1,
+            "maxItems": 3,
+            "uniqueItems": True,
+            "contains": {"type": "integer", "minimum": 0},
+            "items": {
+                "type": "object",
+                "required": ["id"],
+                "properties": {"id": {"type": "integer", "maximum": 9}},
+                "additionalProperties": False,
+            },
+        }
+        docs = [
+            "[]", '[{"id": 1}]', '[{"id": 1}, {"id": 1}]',
+            '[{"id": 1}, {"id": 2}, {"id": 3}, {"id": 4}]',
+            '[{"id": 99}]', '[{"id": "x"}]', '[{}]',
+            '[{"id": 1, "zz": 2}]', "[1]", '["a", {"id": 1}]',
+            '[{"id": 1.5}]', "{}", "5", "null",
+        ]
+        self._check(spark, schema, docs)
+
+    def test_positional_items_explain_parity(self, spark):
+        schema = {
+            "items": [{"type": "integer"}, {"type": "string", "minLength": 2}],
+            "additionalItems": {"type": "boolean"},
+        }
+        docs = [
+            "[]", "[1]", '[1, "ab"]', '[1, "a"]', '["x", "ab"]',
+            '[1, "ab", true]', '[1, "ab", 5]', '[1, "ab", true, "no"]',
+            '[1.5, 2]',
+        ]
+        self._check(spark, schema, docs)
+
+    def test_propnames_and_proprange_explain_parity(self, spark):
+        schema = {
+            "type": "object",
+            "propertyNames": {"pattern": "^[a-z]+$", "maxLength": 4},
+            "minProperties": 1,
+            "maxProperties": 3,
+        }
+        docs = [
+            "{}", '{"ab": 1}', '{"AB": 1}', '{"toolong": 1}',
+            '{"a": 1, "b": 2, "c": 3, "d": 4}',
+            '{"ok": 1, "BAD": 2, "worse!": 3}',
+        ]
+        self._check(spark, schema, docs)
+
+    def test_combinator_explain_parity(self, spark):
+        specs = [
+            {"not": {"type": "integer"}},
+            {"anyOf": [{"type": "integer"}, {"type": "string"}]},
+            {"oneOf": [{"minimum": 0}, {"maximum": 10}]},
+            {"allOf": [{"type": "integer"}, {"minimum": 0}]},
+            {"properties": {"a": {"not": {"const": 5}}}},
+        ]
+        docs = ["1", "-1", '"x"', "true", "5", "15", "null", '{"a": 5}', '{"a": 6}']
+        for schema in specs:
+            self._check(spark, schema, docs)
+
+    def test_conformance_corpus_explain_parity(self, spark):
+        """Every lowerable schema in the conformance corpus: the JVM
+        explain rows equal pyeval's, (code, path) for (code, path), in
+        order, on every document."""
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        by_schema = {}
+        for suite, schema, desc, doc, expected in CONFORMANCE_CASES:
+            key = json.dumps(schema, sort_keys=True)
+            by_schema.setdefault(key, (schema, []))[1].append(
+                (f"{suite}::{desc}", json.dumps(doc))
+            )
+        n_lowered = 0
+        mismatches = []
+        for key, (schema, cases) in by_schema.items():
+            spec = compile_schema(schema)
+            if try_lower_full(spec) is None:
+                continue
+            n_lowered += 1
+            plan = ValidationPlan(spec)
+            df = spark.createDataFrame(cases, ["doc_id", "body"])
+            got = {
+                r["doc_id"]: (
+                    r["valid"],
+                    [(v["code"], v["path"]) for v in r["_violations"]],
+                )
+                for r in plan.apply_json(df, "body").frame.collect()
+            }
+            for cid, txt in cases:
+                want = _pyeval_violations(spec, txt)
+                if got[cid] != (len(want) == 0, want):
+                    mismatches.append((cid, want, got[cid]))
+        assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
+        assert not mismatches, mismatches[:10]
+
+    def test_violations_plan_has_no_python(self, spark):
+        """The round-3 weak item, closed: the violations() plan for a
+        lowerable spec has NO Python evaluation node."""
+        plan = ValidationPlan(compile_schema(PROPS_SPEC))
+        df = spark.createDataFrame([("a", "{}")], ["doc_id", "body"])
+        vio = plan.apply_json(df, "body").violations()
+        explained = vio._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in explained
+        assert "ArrowEvalPython" not in explained
+
+    def test_messages_match_reference_vocabulary(self, spark):
+        from jvst_spark import errors as E
+
+        plan = ValidationPlan(compile_schema(PROPS_SPEC))
+        df = spark.createDataFrame(
+            [("a", '{"k": -1}'), ("b", "{"), ("c", "{}")],
+            ["doc_id", "body"],
+        )
+        for r in plan.apply_json(df, "body").violations().collect():
+            assert r["message"] == E.invalid_msg(r["code"])
+
+    def test_unsupported_spec_still_uses_pyeval(self, spark):
+        """Specs outside the variant subset keep the authoritative
+        pandas-UDF path (verdicts + violations from the explainer)."""
+        schema = {"patternProperties": {"^x": {"type": "integer"}}}
+        plan = ValidationPlan(compile_schema(schema))
+        df = spark.createDataFrame(
+            [("a", '{"x1": "no"}'), ("b", '{"x1": 3}')], ["doc_id", "body"]
+        )
+        res = plan.apply_json(df, "body")
+        rows = {r["doc_id"]: r for r in res.frame.collect()}
+        assert not rows["a"]["valid"] and rows["b"]["valid"]
+        assert len(rows["a"]["_violations"]) == 1
+        explained = (
+            res.frame._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" in explained  # honestly the Python path
