@@ -383,6 +383,136 @@ def val_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# violation ROWS over dynamic JSON — the round-4 fast path: codes,
+# paths, and messages all computed as variant Column expressions (no
+# Python node anywhere in the plan). Documents are assembled as JSON
+# text from event columns with ten injected violation classes; the
+# oracle recomputes every (code, path) from the same raw columns.
+_JSON_VIO_SPEC = {
+    "type": "object",
+    "required": ["lang", "n"],
+    "additionalProperties": False,
+    "properties": {
+        "lang": {
+            "type": "string",
+            "pattern": "^[a-z]+$",
+            "minLength": 2,
+            "maxLength": 6,
+        },
+        "n": {"type": "integer", "minimum": 0},
+        "score": {"type": "number", "minimum": 0, "maximum": 1},
+    },
+}
+
+_JSON_VIO_SQL = """
+WITH base AS (
+  SELECT event_id AS id,
+         coalesce(event_type, 'none') AS et,
+         value AS v,
+         (event_id % 23 = 0) AS malformed,
+         (event_id % 23 != 0 AND event_id % 37 = 0) AS roottype,
+         (event_id % 23 != 0 AND event_id % 37 != 0) AS normal,
+         CASE WHEN event_id % 31 = 0 THEN 'num'
+              WHEN event_id % 19 = 0 THEN 'absent'
+              WHEN event_id % 7 = 0 THEN 'upper'
+              ELSE 'plain' END AS lang_kind,
+         CASE WHEN event_id % 7 = 0 THEN upper(coalesce(event_type, 'none'))
+              ELSE coalesce(event_type, 'none') END AS lang_s,
+         (CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END)
+           * (event_id + CASE WHEN event_id % 11 = 0 THEN 0.5 ELSE 0 END)
+           AS n_val,
+         (event_id % 3 = 0 AND value IS NOT NULL) AS has_score,
+         (event_id % 3 = 0 AND value IS NOT NULL AND event_id % 29 = 0)
+           AS score_str,
+         value / 100 AS score_val
+  FROM events
+),
+vio AS (
+  SELECT id, 32 AS code, '$' AS path FROM base WHERE malformed
+  UNION ALL SELECT id, 1, '$' FROM base WHERE roottype
+  UNION ALL SELECT id, 6, '$' FROM base
+    WHERE normal AND lang_kind = 'absent'
+  UNION ALL SELECT id, 1, '$.lang' FROM base
+    WHERE normal AND lang_kind = 'num'
+  UNION ALL SELECT id, 11, '$.lang' FROM base
+    WHERE normal AND lang_kind IN ('upper', 'plain') AND length(lang_s) < 2
+  UNION ALL SELECT id, 12, '$.lang' FROM base
+    WHERE normal AND lang_kind IN ('upper', 'plain') AND length(lang_s) > 6
+  UNION ALL SELECT id, 9, '$.lang' FROM base
+    WHERE normal AND lang_kind IN ('upper', 'plain')
+      AND NOT regexp_matches(lang_s, '^[a-z]+$')
+  UNION ALL SELECT id, 3, '$.n' FROM base WHERE normal AND n_val < 0
+  UNION ALL SELECT id, 2, '$.n' FROM base WHERE normal AND id % 11 = 0
+  UNION ALL SELECT id, 1, '$.score' FROM base WHERE normal AND score_str
+  UNION ALL SELECT id, 3, '$.score' FROM base
+    WHERE normal AND has_score AND NOT score_str
+      AND (score_val < 0 OR score_val > 1)
+  UNION ALL SELECT id, 1, '$.x' FROM base WHERE normal AND id % 17 = 0
+)
+SELECT id AS doc_id, code, path,
+       CASE code WHEN 1 THEN 'unexpected token'
+                 WHEN 2 THEN 'number is not an integer'
+                 WHEN 3 THEN 'number not valid'
+                 WHEN 6 THEN 'missing required properties'
+                 WHEN 9 THEN 'invalid match case (internal error)'
+                 WHEN 11 THEN 'length is too short'
+                 WHEN 12 THEN 'length is too long'
+                 WHEN 32 THEN 'encountered invalid JSON' END AS message
+FROM vio
+"""
+
+
+@query("val_json_violations", _JSON_VIO_SQL)
+def val_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation rows (code, path, message) over a JSON-text column,
+    fully on the JVM variant fast path — the round-3 weak item closed:
+    no python_udf stage anywhere in this plan. Ten violation classes:
+    malformed JSON, root type mismatch, missing required, property
+    type mismatch, pattern fail, length-too-long, negative number,
+    non-integer, out-of-range score, additionalProperties."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    et = F.coalesce(F.col("event_type"), F.lit("none"))
+    lang_j = (
+        F.when(eid % 31 == 0, F.lit('"lang": 7, '))
+        .when(eid % 19 == 0, F.lit(""))
+        .when(
+            eid % 7 == 0,
+            F.concat(F.lit('"lang": "'), F.upper(et), F.lit('", ')),
+        )
+        .otherwise(F.concat(F.lit('"lang": "'), et, F.lit('", ')))
+    )
+    n_j = F.concat(
+        F.lit('"n": '),
+        F.when(eid % 13 == 0, F.lit("-")).otherwise(F.lit("")),
+        eid.cast("string"),
+        F.when(eid % 11 == 0, F.lit(".5")).otherwise(F.lit("")),
+    )
+    score_j = (
+        F.when((eid % 3 != 0) | F.col("value").isNull(), F.lit(""))
+        .when(eid % 29 == 0, F.lit(', "score": "high"'))
+        .otherwise(
+            F.concat(
+                F.lit(', "score": '), (F.col("value") / 100).cast("string")
+            )
+        )
+    )
+    x_j = F.when(eid % 17 == 0, F.lit(', "x": 1')).otherwise(F.lit(""))
+    body = F.concat(F.lit("{"), lang_j, n_j, score_j, x_j, F.lit("}"))
+    body = (
+        F.when(eid % 23 == 0, F.lit('{"lang": '))
+        .when(eid % 37 == 0, F.lit("[1]"))
+        .otherwise(body)
+    )
+    df = ev.select("event_id", body.alias("body"))
+    plan = ValidationPlan(compile_schema(_JSON_VIO_SPEC))
+    return (
+        plan.apply_json(df, "body", id_col="event_id")
+        .violations()
+        .select("doc_id", "code", "path", "message")
+    )
+
+
 # ---------------------------------------------------------------------
 # table-level checks (ops 41-43)
 # ---------------------------------------------------------------------
