@@ -105,25 +105,43 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ordered_pairs(arr: Column, pair) -> Column:
+    """All i<j element pairs of a (sorted) array, via `pair(x, y)`."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
-    The only shuffle is on (band, band_key); bucket sizes are tiny for
-    non-duplicate corpora, so the within-bucket self-join is cheap.
-    Bands are cached: the self-join would otherwise evaluate the
-    signature expression once per side."""
-    b = minhash_bands(df, text_col).cache()
-    l = b.alias("l")
-    r = b.alias("r")
+
+    Aggregate-then-pair (round-4, replacing a cached self-join): ONE
+    shuffle groups band rows into (band, band_key) -> sorted id list,
+    then pairs explode from each bucket's array. The signature
+    expression evaluates exactly once per doc with no corpus-scale
+    `.cache()` — candidate generation no longer depends on executor
+    storage at 100 TB. Bucket pair fan-out is quadratic in bucket size
+    exactly as the self-join's was (same key, same partition); for
+    near-dup corpora buckets are tiny by construction."""
+    b = minhash_bands(df, text_col)
+    buckets = (
+        b.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = _ordered_pairs(
+        F.col("ids"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -307,9 +325,12 @@ def simhash_near_pairs(
 
     `signatures` lets callers supply a precomputed (doc_id, simhash)
     frame (e.g. simhash_signatures_fast — bit-identical, Arrow-batched).
-    The chunk frame is cached like lsh_candidate_pairs' bands: the
-    self-join would otherwise evaluate the whole explode+signature
-    subtree once per side."""
+
+    Aggregate-then-pair (round-4, replacing a cached self-join): one
+    groupBy((chunk, key)) collects each bucket's (doc_id, simhash)
+    members sorted by id, then i<j pairs explode from the array — the
+    signature subtree evaluates once per doc and nothing pins an
+    exploded corpus into executor storage."""
     sig = (
         signatures
         if signatures is not None
@@ -329,21 +350,28 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key")).cache()
-    l, r = chunks.alias("l"), chunks.alias("r")
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    buckets = (
+        chunks.groupBy("chunk", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pairs = _ordered_pairs(
+        F.col("members"),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["simhash"].alias("sig_a"),
+            y["simhash"].alias("sig_b"),
+        ),
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("sig_a"),
-            F.col("r.simhash").alias("sig_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
     ham = F.size(
