@@ -14,13 +14,14 @@ back to the Column path otherwise): Switch/And/Or/Xor/Not over
 struct/map/array/string/number/boolean columns, NumRange/NumInteger/
 NumMultipleOf/StrMatch/StrLength/ObjRequired/PropRange/ObjPropSet/
 ObjPropNames (struct AND map — map entries flatten like any list:
-keys child + values child + one cumsum reduction)/ArrItems(
-single-schema)/ArrContains/ItemRange/EnumMatch(scalars AND flat
-scalar-element array values — per-candidate gather + vectorized
-double-space compare)/acyclic Ref/ArrUnique(scalar elements — lexsort
-dup-scan in double bit-pattern space, UEM semantics). Not supported:
-ArrUnique on composite elements, object-valued enums, cyclic refs,
-non-string map keys.
+keys child + values child + one cumsum reduction)/ArrItems(single AND
+positional+additionalItems — per-index gather, tail via position
+mask)/ArrContains/ItemRange/EnumMatch(scalars, arrays, objects —
+composite values via kernel-space canonical serialization in the enum
+regime)/acyclic Ref/ArrUnique(scalar elements — lexsort dup-scan in
+double bit-pattern space; composite elements — canonical strings +
+per-segment sorted adjacent-dup scan; UEM semantics). Not supported:
+cyclic refs, non-string map keys.
 
 Dialect note: pc.match_substring_regex is RE2 — no backreferences or
 lookaround (same family as the reference's libfsm DFAs, which also
@@ -136,6 +137,51 @@ def _map_parts(arr) -> tuple[np.ndarray, pa.Array, pa.Array]:
 
 class Unsupported(Exception):
     pass
+
+
+_NAN_BITS = 0x7FF8000000000000
+
+
+def _canon_py(value, neg_zero_distinct: bool) -> str:
+    """Python mirror of _Compiler._canon_ev for enum LITERALS — must
+    render byte-identically to the kernel serializer (same classes as
+    spec.nodes.canonicalize; numbers as double bit patterns)."""
+    import struct as _struct
+
+    if value is None:
+        return "z"
+    if isinstance(value, bool):
+        return "t" if value else "f"
+    if isinstance(value, (int, float)):
+        try:
+            d = float(value)
+        except OverflowError:
+            d = math.inf if value > 0 else -math.inf
+        if math.isnan(d):
+            bits = _NAN_BITS
+        else:
+            if not neg_zero_distinct:
+                d = d + 0.0  # IEEE: -0.0 + 0.0 = +0.0
+            bits = _struct.unpack("<Q", _struct.pack("<d", d))[0]
+        return f"n:{bits}"
+    if isinstance(value, str):
+        return f"s{len(value)}:{value}"
+    if isinstance(value, list):
+        return (
+            "a["
+            + ",".join(_canon_py(v, neg_zero_distinct) for v in value)
+            + "]"
+        )
+    if isinstance(value, dict):
+        return (
+            "o{"
+            + ",".join(
+                f"s{len(k)}:{k}={_canon_py(v, neg_zero_distinct)}"
+                for k, v in sorted(value.items())
+            )
+            + "}"
+        )
+    raise Unsupported(f"enum literal {type(value).__name__}")
 
 
 def supports(node: Node, dtype: DataType, defs: Optional[dict] = None) -> bool:
@@ -431,20 +477,58 @@ class _Compiler:
 
             return propnames
         if isinstance(node, ArrItems):
-            if not isinstance(dtype, ArrayType) or node.positional:
-                raise Unsupported("positional items")
-            elem_ev = self.compile(node.additional, dtype.elementType)
+            if not isinstance(dtype, ArrayType):
+                raise Unsupported("items on non-array")
+            pos_evs = [
+                self.compile(p, dtype.elementType) for p in node.positional
+            ]
+            add_ev = self.compile(node.additional, dtype.elementType)
+            add_trivial = isinstance(node.additional, Valid)
 
-            def items(a, elem_ev=elem_ev):
+            if not pos_evs:
+
+                def items(a, elem_ev=add_ev):
+                    off, values = _offsets(a)
+                    if len(values) == 0:
+                        return np.ones(len(a), dtype=bool)
+                    elem_ok = elem_ev(values)
+                    # null elements dispatch via the subschema's null
+                    # arm — elem_ev (Switch) already resolved them
+                    return _seg_all(~elem_ok, off)
+
+                return items
+
+            # positional form (round-4; reference's per-index dispatch,
+            # src/validate_ir.c:3988-4060): position i gathers the
+            # i-th element of every row that has one — one take + one
+            # sub-batch evaluation per declared position; the tail
+            # beyond the prefix checks `additional` via a position mask
+            # over the flat values (no per-row Python).
+            def items_pos(
+                a, pos_evs=pos_evs, add_ev=add_ev, add_trivial=add_trivial
+            ):
                 off, values = _offsets(a)
-                if len(values) == 0:
-                    return np.ones(len(a), dtype=bool)
-                elem_ok = elem_ev(values)
-                # null elements dispatch via the subschema's null arm —
-                # elem_ev (Switch) already resolved them
-                return _seg_all(~elem_ok, off)
+                rows = len(a)
+                lens = off[1:] - off[:-1]
+                out = np.ones(rows, dtype=bool)
+                for idx, ev in enumerate(pos_evs):
+                    has = np.nonzero(lens > idx)[0]
+                    if has.size == 0:
+                        break
+                    gathered = values.take(
+                        pa.array(off[:-1][has] + idx, type=pa.int64())
+                    )
+                    out[has] &= ev(gathered)
+                if not add_trivial and len(values):
+                    pos = np.arange(len(values), dtype=np.int64) - np.repeat(
+                        off[:-1], lens
+                    )
+                    tail = pos >= len(pos_evs)
+                    if tail.any():
+                        out &= _seg_all(tail & ~add_ev(values), off)
+                return out
 
-            return items
+            return items_pos
         if isinstance(node, ArrContains):
             if not isinstance(dtype, ArrayType):
                 raise Unsupported("contains on non-array")
@@ -511,15 +595,80 @@ class _Compiler:
                 et, (_NUMERIC, StringType, BooleanType)
             ):
                 return self._enum_array(vals, et)
+            if isinstance(dtype, (ArrayType, StructType, MapType)):
+                # composite enum (round-4): canonical-serialize the
+                # column in kernel space and compare against the
+                # literals' canonical strings (enum regime: -0.0 == 0,
+                # the NUM_RANGE desugar —
+                # src/validate_constraints.c:1140-1154)
+                canon = self._canon_ev(dtype, neg_zero_distinct=False)
+                want_list = isinstance(dtype, ArrayType)
+                lits = np.asarray(
+                    sorted(
+                        {
+                            _canon_py(v, neg_zero_distinct=False)
+                            for v in vals
+                            if isinstance(v, list) == want_list
+                            and isinstance(v, (list, dict))
+                        }
+                    ),
+                    dtype=object,
+                )
+                if lits.size == 0:
+                    return lambda a: np.zeros(len(a), dtype=bool)
+
+                def enum_comp(a, canon=canon, lits=lits):
+                    c = np.asarray(canon(a).to_pylist(), dtype=object)
+                    valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+                    return np.isin(c, lits) & valid
+
+                return enum_comp
             raise Unsupported("composite enum in arrow backend")
         if isinstance(node, ArrUnique):
             et = getattr(dtype, "elementType", None)
-            if not isinstance(dtype, ArrayType) or not isinstance(
-                et, (_NUMERIC, StringType, BooleanType)
-            ):
-                raise Unsupported(
-                    "uniqueItems on non-scalar elements in arrow backend"
-                )
+            if not isinstance(dtype, ArrayType):
+                raise Unsupported("uniqueItems on non-array")
+            if not isinstance(et, (_NUMERIC, StringType, BooleanType)):
+                # composite elements (round-4): canonical strings in
+                # kernel space (UEM regime: raw double bit patterns,
+                # -0.0 != 0.0 — src/validate_uniq.c:43), then a
+                # per-segment adjacent-duplicate scan over sorted
+                # (segment, key)
+                elem_canon = self._canon_ev(et, neg_zero_distinct=True)
+
+                def uniq_comp(a, elem_canon=elem_canon):
+                    off, values = _offsets(a)
+                    rows = len(a)
+                    if len(values) == 0:
+                        return np.ones(rows, dtype=bool)
+                    c = elem_canon(values)
+                    seg = np.repeat(
+                        np.arange(rows, dtype=np.int64), off[1:] - off[:-1]
+                    )
+                    tbl = pa.table(
+                        {"seg": pa.array(seg), "key": c}
+                    )
+                    order = pc.sort_indices(
+                        tbl,
+                        sort_keys=[
+                            ("seg", "ascending"),
+                            ("key", "ascending"),
+                        ],
+                    ).to_numpy(zero_copy_only=False)
+                    so = seg[order]
+                    sk = c.take(pa.array(order))
+                    n = len(so)
+                    if n < 2:
+                        return np.ones(rows, dtype=bool)
+                    adj = _np_bool(
+                        pc.equal(sk.slice(1), sk.slice(0, n - 1)), n - 1
+                    )
+                    dup = (so[1:] == so[:-1]) & adj
+                    ok = np.ones(rows, dtype=bool)
+                    ok[np.unique(so[1:][dup])] = False
+                    return ok
+
+                return uniq_comp
             numeric = isinstance(et, _NUMERIC)
             boolean = isinstance(et, BooleanType)
 
@@ -564,6 +713,143 @@ class _Compiler:
 
             return uniq
         raise Unsupported(f"node {type(node).__name__}")
+
+    def _canon_ev(self, dtype: DataType, neg_zero_distinct: bool):
+        """(arrow array) -> pa.StringArray of canonical element
+        serializations — the UEM recipe (canonicalize() in spec/nodes,
+        src/validate_uniq.c:219-355) rebuilt from vectorized kernels:
+        type tags, length-prefixed strings, sorted object keys, numbers
+        as double BIT PATTERNS (NaNs normalized to one pattern; the
+        enum regime first adds +0.0 so -0.0 == 0). Same equivalence
+        classes as pyeval's canonicalize, different (still injective)
+        number rendering. Null entries serialize as 'z' (JSON null);
+        struct fields instead SKIP null (absent-key data model)."""
+        if isinstance(dtype, NullType):
+            return lambda a: pa.array(["z"] * len(a), type=pa.string())
+        if isinstance(dtype, BooleanType):
+            return lambda a: pc.if_else(
+                pc.is_valid(a), pc.if_else(a, "t", "f"), "z"
+            )
+        if isinstance(dtype, _NUMERIC):
+
+            def num_canon(a):
+                v = _as_f64(a).to_numpy(zero_copy_only=False)
+                if v.base is not None or not v.flags.writeable:
+                    v = v.copy()
+                bits = v.view(np.uint64)
+                with np.errstate(invalid="ignore"):
+                    nan = np.isnan(v)
+                if nan.any():
+                    bits = bits.copy()
+                    bits[nan] = np.uint64(0x7FF8000000000000)
+                if not neg_zero_distinct:
+                    # +0.0 collapses -0.0; every other pattern is fixed
+                    pz = np.uint64(0x8000000000000000)
+                    bits = np.where(bits == pz, np.uint64(0), bits)
+                s = pc.binary_join_element_wise(
+                    "n:", pc.cast(pa.array(bits), pa.string()), ""
+                )
+                return pc.if_else(pc.is_valid(a), s, "z")
+
+            return num_canon
+        if isinstance(dtype, StringType):
+
+            def str_canon(a):
+                s = pc.binary_join_element_wise(
+                    "s",
+                    pc.cast(pc.utf8_length(a), pa.string()),
+                    ":",
+                    a,
+                    "",
+                )
+                return pc.if_else(pc.is_valid(a), s, "z")
+
+            return str_canon
+        if isinstance(dtype, ArrayType):
+            child = self._canon_ev(dtype.elementType, neg_zero_distinct)
+
+            def arr_canon(a, child=child):
+                off, values = _offsets(a)
+                cv = child(values)
+                lst = pa.ListArray.from_arrays(
+                    pa.array(off, type=pa.int32()), cv
+                )
+                joined = pc.binary_join(lst, ",")
+                s = pc.binary_join_element_wise("a[", joined, "]", "")
+                return pc.if_else(pc.is_valid(a), s, "z")
+
+            return arr_canon
+        if isinstance(dtype, StructType):
+            fields = sorted(dtype.fields, key=lambda f: f.name)
+            subs = [
+                (
+                    f.name,
+                    f",s{len(f.name)}:{f.name}=",
+                    self._canon_ev(f.dataType, neg_zero_distinct),
+                )
+                for f in fields
+            ]
+
+            if not subs:
+                return lambda a: pc.if_else(
+                    pc.is_valid(a), pa.scalar("o{}"), "z"
+                )
+
+            def struct_canon(a, subs=subs):
+                pieces = []
+                for name, prefix, sub in subs:
+                    fcol = a.field(name)
+                    pieces.append(
+                        pc.if_else(
+                            pc.is_valid(fcol),
+                            pc.binary_join_element_wise(prefix, sub(fcol), ""),
+                            "",
+                        )
+                    )
+                body = (
+                    pieces[0]
+                    if len(pieces) == 1
+                    else pc.binary_join_element_wise(*pieces, "")
+                )
+                s = pc.binary_join_element_wise(
+                    "o{", pc.utf8_slice_codeunits(body, 1), "}", ""
+                )
+                return pc.if_else(pc.is_valid(a), s, "z")
+
+            return struct_canon
+        if isinstance(dtype, MapType):
+            self._map_keys_ok(dtype)
+            vsub = self._canon_ev(dtype.valueType, neg_zero_distinct)
+
+            def map_canon(a, vsub=vsub):
+                off, keys, vals = _map_parts(a)
+                rows = len(a)
+                entry = pc.binary_join_element_wise(
+                    "s",
+                    pc.cast(pc.utf8_length(keys), pa.string()),
+                    ":",
+                    keys,
+                    "=",
+                    vsub(vals),
+                    "",
+                )
+                seg = np.repeat(
+                    np.arange(rows, dtype=np.int64), off[1:] - off[:-1]
+                )
+                order = pc.sort_indices(
+                    pa.table({"seg": pa.array(seg), "key": keys}),
+                    sort_keys=[("seg", "ascending"), ("key", "ascending")],
+                )
+                lst = pa.ListArray.from_arrays(
+                    pa.array(off, type=pa.int32()),
+                    entry.take(order) if len(entry) else entry,
+                )
+                joined = pc.binary_join(lst, ",")
+                s = pc.binary_join_element_wise("o{", joined, "}", "")
+                return pc.if_else(pc.is_valid(a), s, "z")
+
+            return map_canon
+        raise Unsupported(f"canonical form of {dtype.simpleString()}")
 
     @staticmethod
     def _enum_array(vals, et) -> Ev:

@@ -94,22 +94,16 @@ class TestArrowKernelsDirect:
                    [7.0, 4.0, 8.0, 3.0])
         self.check({"not": {"minimum": 3}}, "double", [1.0, 5.0])
 
-    def test_unsupported_fallback_reported(self):
+    def test_unsupported_fallback_reported(self, spark):
         from pyspark.sql.types import _parse_datatype_string
 
-        # composite-element uniqueItems (deep canonicalization) and
-        # object-valued enums stay on the Column/pyeval paths
-        spec = compile_schema({"uniqueItems": True})
+        # non-string map keys stay on the Column/pyeval paths (JSON
+        # object keys are strings; any other key type is not an object)
+        spec = compile_schema({"type": "object", "minProperties": 1})
         assert not supports(
             spec.root,
-            _parse_datatype_string("array<struct<a:bigint>>"),
+            _parse_datatype_string("map<bigint,string>"),
             spec.defs,
-        )
-        spec2 = compile_schema({"enum": [{"a": 1}]})
-        assert not supports(
-            spec2.root,
-            _parse_datatype_string("struct<a:bigint>"),
-            spec2.defs,
         )
 
 
@@ -328,6 +322,56 @@ class TestArrowConformanceCorpus:
         assert checked >= 100, f"only {checked} corpus docs ran as maps"
         assert not mismatches, mismatches[:10]
 
+    def test_corpus_array_docs_agree_with_pyeval(self):
+        """Round-4: the corpus' LIST documents (homogeneous scalar
+        elements) run through the Arrow backend as array<T> — this is
+        the path that exercises the items/additionalItems/uniqueItems/
+        contains suites with positional gathers."""
+        from pyspark.sql.types import (
+            BooleanType, DoubleType, LongType, StringType,
+        )
+
+        from tests.conftest import CONFORMANCE_CASES
+
+        checked = 0
+        mismatches = []
+        for suite, schema, desc, doc, expected in CONFORMANCE_CASES:
+            if not isinstance(doc, list):
+                continue
+            vals = [v for v in doc if v is not None]
+            if vals and all(isinstance(v, bool) for v in vals):
+                pa_t, sp_t = pa.bool_(), BooleanType()
+            elif vals and all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in vals
+            ):
+                pa_t, sp_t = pa.int64(), LongType()
+            elif vals and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                pa_t, sp_t = pa.float64(), DoubleType()
+            elif all(isinstance(v, str) for v in vals):
+                pa_t, sp_t = pa.string(), StringType()
+            else:
+                continue
+            from pyspark.sql.types import ArrayType
+
+            spec = compile_schema(schema)
+            dt = ArrayType(sp_t, True)
+            if not supports(spec.root, dt, spec.defs):
+                continue
+            ev = _Compiler(spec.defs).compile(spec.root, dt)
+            arr = pa.array([doc], type=pa.list_(pa_t))
+            got = bool(ev(arr)[0])
+            # int lists typed as float64 change 1 vs 1.0 identity for
+            # pyeval but not verdicts (all backends compare doubles)
+            if got != expected:
+                mismatches.append((suite, desc, doc, got, expected))
+            checked += 1
+        assert checked >= 40, f"only {checked} corpus docs ran as arrays"
+        assert not mismatches, mismatches[:10]
+
 
 class TestArrowUniqueItems:
     """Round-3: uniqueItems on scalar-element arrays (the reference's
@@ -418,11 +462,164 @@ class TestArrowUniqueItems:
             [[True], [False], [False, None], [None, False], []],
         )
 
-    def test_composite_elements_stay_unsupported(self):
+class TestArrowPositionalItems:
+    """Round-4: positional items/additionalItems — per-index gather +
+    tail position mask, parity with pyeval."""
+
+    def check(self, schema, dtype_str, pa_type, values):
+        from pyspark.sql.types import _parse_datatype_string
+
+        spec = compile_schema(schema)
+        dt = _parse_datatype_string(dtype_str)
+        assert supports(spec.root, dt, spec.defs), schema
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(values, type=pa_type)
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        expect = [pyv(v) for v in values]
+        assert got == expect, (schema, values, got, expect)
+
+    def test_positional_prefix_and_tail(self):
+        self.check(
+            {"items": [{"minimum": 0}, {"maximum": 5}],
+             "additionalItems": {"multipleOf": 2}},
+            "array<double>", pa.list_(pa.float64()),
+            [[1.0, 2.0], [-1.0, 2.0], [1.0, 9.0], [1.0, 2.0, 4.0],
+             [1.0, 2.0, 3.0], [], [5.0], [1.0, 2.0, 4.0, 6.0],
+             [1.0, 2.0, 4.0, 5.0], [None, 2.0], [1.0, None, 2.0]],
+        )
+
+    def test_additional_items_false(self):
+        self.check(
+            {"items": [{"type": "string", "minLength": 2}],
+             "additionalItems": False},
+            "array<string>", pa.list_(pa.string()),
+            [["ab"], ["a"], ["ab", "x"], [], ["ab", None]],
+        )
+
+    def test_positional_only_no_tail_constraint(self):
+        self.check(
+            {"items": [{"const": "x"}, {"pattern": "^y"}]},
+            "array<string>", pa.list_(pa.string()),
+            [["x", "yy"], ["x", "zz"], ["x"], [], ["w", "yy"],
+             ["x", "yy", "anything"], [None]],
+        )
+
+    def test_positional_over_struct_elements(self):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = {"items": [
+            {"type": "object", "required": ["a"]},
+            {"type": "object", "properties": {"a": {"minimum": 5}}},
+        ]}
+        spec = compile_schema(schema)
+        dt = _parse_datatype_string("array<struct<a:bigint>>")
+        assert supports(spec.root, dt, spec.defs)
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        values = [[{"a": 1}, {"a": 7}], [{"a": None}, {"a": 7}],
+                  [{"a": 1}, {"a": 2}], [{"a": 1}], []]
+        # typed data model: a null struct field is an ABSENT key
+        py = [[{"a": 1}, {"a": 7}], [{}, {"a": 7}],
+              [{"a": 1}, {"a": 2}], [{"a": 1}], []]
+        arr = pa.array(values, type=pa.list_(pa.struct([("a", pa.int64())])))
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        assert got == [pyv(d) for d in py], got
+
+
+class TestArrowCompositeCanon:
+    """Round-4: composite-element uniqueItems + object/array-valued
+    enums via the kernel-space canonical serializer."""
+
+    def check(self, schema, dtype_str, pa_type, values, py=None):
+        from pyspark.sql.types import _parse_datatype_string
+
+        spec = compile_schema(schema)
+        dt = _parse_datatype_string(dtype_str)
+        assert supports(spec.root, dt, spec.defs), schema
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(values, type=pa_type)
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        expect = [pyv(v) for v in (py if py is not None else values)]
+        assert got == expect, (schema, values, got, expect)
+
+    def test_unique_struct_elements(self):
+        t = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())]))
+        self.check(
+            {"uniqueItems": True}, "array<struct<a:bigint,b:string>>", t,
+            [[{"a": 1, "b": "x"}, {"a": 1, "b": "x"}],
+             [{"a": 1, "b": "x"}, {"a": 1, "b": "y"}],
+             [{"a": 1, "b": None}, {"a": 1}],   # null field = absent
+             [], [{"a": None, "b": None}, {}]],
+            py=[[{"a": 1, "b": "x"}, {"a": 1, "b": "x"}],
+                [{"a": 1, "b": "x"}, {"a": 1, "b": "y"}],
+                [{"a": 1}, {"a": 1}], [], [{}, {}]],
+        )
+
+    def test_unique_nested_arrays_numeric_twins(self):
+        self.check(
+            {"uniqueItems": True}, "array<array<double>>",
+            pa.list_(pa.list_(pa.float64())),
+            [[[1.0, 2.0], [1.0, 2.0]], [[1.0], [2.0]],
+             [[0.0], [-0.0]],                  # UEM: bitwise distinct
+             [[], []], [[None], [None]], [[None], []]],
+        )
+
+    def test_unique_injective_against_delimiter_spoofing(self):
+        # the canon_expr injectivity battery (round-2 Column fix):
+        # string content embedding the serializer's own delimiters
+        self.check(
+            {"uniqueItems": True}, "array<array<string>>",
+            pa.list_(pa.list_(pa.string())),
+            [[["x,s1:y"], ["x", "y"]], [["x", "y"], ["x", "y"]],
+             [["s1:x"], ["s4:s1:x"]], [["a"], ["a"], ["b"]],
+             [["x,y"], ["x", "y"]]],
+        )
+
+    def test_object_valued_enum(self):
+        t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+        self.check(
+            {"enum": [{"a": 1}, {"a": 2, "b": "x"}, {}]},
+            "struct<a:bigint,b:string>", t,
+            [{"a": 1, "b": None}, {"a": 2, "b": "x"},
+             {"a": 2, "b": None}, {"a": None, "b": None},
+             {"a": 1, "b": "x"}],
+            py=[{"a": 1}, {"a": 2, "b": "x"}, {"a": 2}, {}, {"a": 1, "b": "x"}],
+        )
+
+    def test_array_of_object_enum_and_regime(self):
+        self.check(
+            {"enum": [[{"a": 1}], [1, 2], [0]]},
+            "array<struct<a:bigint>>",
+            pa.list_(pa.struct([("a", pa.int64())])),
+            [[{"a": 1}], [{"a": 2}], []],
+        )
+        # enum regime: -0.0 == 0 (NUM_RANGE desugar), unlike uniqueItems
+        self.check(
+            {"enum": [[0]]}, "array<double>", pa.list_(pa.float64()),
+            [[0.0], [-0.0], [1.0]],
+        )
+
+    def test_unique_map_elements(self):
+        # map elements: key order must not matter
         from pyspark.sql.types import _parse_datatype_string
 
         spec = compile_schema({"uniqueItems": True})
-        assert not supports(
-            spec.root, _parse_datatype_string("array<array<int>>"),
-            spec.defs,
+        dt = _parse_datatype_string("array<map<string,bigint>>")
+        assert supports(spec.root, dt, spec.defs)
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(
+            [[[("a", 1), ("b", 2)], [("b", 2), ("a", 1)]],
+             [[("a", 1)], [("a", 2)]],
+             [[], []]],
+            type=pa.list_(pa.map_(pa.string(), pa.int64())),
         )
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        expect = [
+            pyv([{"a": 1, "b": 2}, {"b": 2, "a": 1}]),
+            pyv([{"a": 1}, {"a": 2}]),
+            pyv([{}, {}]),
+        ]
+        assert got == expect, (got, expect)
