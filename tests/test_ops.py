@@ -148,16 +148,18 @@ class TestSimilarity:
         from jvst_spark.ops.similarity import brute_force_topk, ivf_ann_topk
 
         exact = brute_force_topk(emb, emb.filter("vec_id < 10"), k=5).collect()
+        # tuned configuration (round-4, measured on this deterministic
+        # corpus): stride centroids on UNclustered vectors need wider
+        # probing — n_probes=2/4/6 give recall 0.62/0.78/1.0; a usable
+        # approximate operator must hold >= 0.8, not 'nonzero overlap'
         approx = ivf_ann_topk(
-            emb, emb.filter("vec_id < 10"), k=5, n_probes=2
+            emb, emb.filter("vec_id < 10"), k=5, n_probes=6
         ).collect()
         exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
         approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
         assert approx_set
-        # stride centroids on unclustered synthetic vectors: modest
-        # recall is expected; the plan shape is what's under test
         recall = len(exact_set & approx_set) / len(exact_set)
-        assert recall >= 0.2, f"recall {recall}"
+        assert recall >= 0.8, f"recall {recall}"
         # every reported neighbor's sim must equal the exact cosine
         exact_all = brute_force_topk(emb, emb.filter("vec_id < 10"), k=500)
         sims = {
@@ -301,16 +303,52 @@ class TestSimilarity:
         from jvst_spark.ops.similarity import brute_force_topk, lsh_ann_topk
 
         exact = brute_force_topk(emb, emb.filter("vec_id < 10"), k=5).collect()
+        # tuned configuration (round-4, measured on this deterministic
+        # corpus): (n_tables, n_planes) = (12,4)/(16,4)/(24,4) give
+        # recall 0.8/0.9/0.98 on the unclustered 64-dim embeddings;
+        # pin >= 0.8 at n_tables=16
         approx = lsh_ann_topk(
-            emb, emb.filter("vec_id < 10"), dim=64, k=5
+            emb, emb.filter("vec_id < 10"), dim=64, k=5, n_tables=16
         ).collect()
         exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
         approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
-        # approximate: assert it returns well-formed results with
-        # nonzero overlap (recall depends on table/plane counts)
         assert approx_set
         recall = len(exact_set & approx_set) / len(exact_set)
-        assert recall >= 0.5, f"recall {recall}"
+        assert recall >= 0.8, f"recall {recall}"
+
+    def test_lsh_ann_recall_on_clustered_corpus(self, spark):
+        """The scale-path configuration on genuinely clustered data
+        (the corpus ANN is for): default (12 tables, 4 planes) recovers
+        every true neighbor — pinned at >= 0.8 so 'approximate' never
+        silently degrades to 'arbitrary'."""
+        import numpy as np
+
+        from jvst_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+
+        rng = np.random.default_rng(42)
+        dim, n_clusters, per = 16, 8, 60
+        centers = rng.normal(0, 1, (n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows, vid = [], 0
+        for ci in range(n_clusters):
+            pts = centers[ci] * 10 + rng.normal(0, 0.5, (per, dim))
+            for p in pts:
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).cache()
+        queries = emb.filter("vec_id % 37 = 0")
+        exact_set = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann_topk(emb, queries, dim=dim, k=5).collect()
+        }
+        recall = len(got & exact_set) / len(exact_set)
+        assert recall >= 0.8, f"recall {recall}"
 
     def test_cosine_self_similarity(self, spark, emb):
         from jvst_spark.ops.similarity import cosine_expr
