@@ -513,6 +513,70 @@ def val_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# streaming: windowed violation rates from a REAL Structured Streaming
+# run (availableNow trigger over the events table staged as a file
+# stream). Append mode emits exactly the watermark-closed windows
+# (window_end <= max event time - watermark); the oracle replays that
+# rule in DuckDB. Everything is deterministic: fixed input, fixed
+# 1-day tumbling windows, fixed watermark.
+_STREAM_VIO_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         count(*) AS n_docs,
+         count(*) FILTER (WHERE value IS NOT NULL AND value >= 10)
+           AS n_valid
+  FROM events GROUP BY 1
+), mx AS (SELECT max(ts) AS m FROM events)
+SELECT window_start, n_docs, n_valid FROM b, mx
+WHERE window_start + INTERVAL 1 DAY <= m - INTERVAL 1 DAY
+"""
+
+_STREAM_VIO_SPEC = {
+    "type": "object",
+    "required": ["value"],
+    "properties": {"value": {"type": "number", "minimum": 10}},
+}
+
+
+@query("stream_violation_rates", _STREAM_VIO_SQL)
+def stream_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed validity rates over a streaming source —
+    the stateful streaming layer at the oracle gate (round-4; it was
+    previously e2e-tested but never DuckDB-replayed). The job runs to
+    completion under availableNow and the memory sink's contents are
+    returned as the result frame."""
+    import tempfile
+
+    from jvst_spark.streaming.validate_stream import violation_rate_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("doc_id"),
+        # parquet gives TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="jvst_stream_vio_")
+    ev.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    plan = ValidationPlan(compile_schema(_STREAM_VIO_SPEC))
+    win = violation_rate_windows(
+        plan, stream, ts_col="ts", window="1 day", watermark="1 day"
+    )
+    for q in spark.streams.active:
+        if q.name == "jvst_stream_vio":
+            q.stop()
+    q = (
+        win.writeStream.format("memory")
+        .queryName("jvst_stream_vio")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("jvst_stream_vio").select(
+        "window_start", "n_docs", "n_valid"
+    )
+
+
 # ---------------------------------------------------------------------
 # table-level checks (ops 41-43)
 # ---------------------------------------------------------------------
