@@ -77,21 +77,30 @@ def decode_features(
     media: DataFrame,
     media_type_col: str = "media_type",
     payload_col: str = "payload",
+    decoders: Optional[dict] = None,
 ) -> DataFrame:
     """payload binary -> features array<float>, via mapInPandas (one
     Python invocation per Arrow batch; payload never crosses as
-    per-row pickles)."""
+    per-row pickles).
+
+    `decoders` overrides the global registry for this call only
+    (media_type -> bytes -> features) — callers that must not perturb
+    other pipelines pass decoders explicitly instead of mutating the
+    registry."""
     out_schema = StructType(
         [f for f in media.schema.fields if f.name != payload_col]
         + [StructField("features", ArrayType(FloatType()), True)]
     )
     cols = [f.name for f in media.schema.fields if f.name != payload_col]
+    table = dict(_DECODERS)
+    if decoders:
+        table.update(decoders)
 
     def decode_batches(it: Iterator) -> Iterator:
         for pdf in it:
             feats = []
             for mt, payload in zip(pdf[media_type_col], pdf[payload_col]):
-                fn = _DECODERS.get(mt, _fake_decode)
+                fn = table.get(mt, _fake_decode)
                 feats.append(fn(bytes(payload) if payload is not None else b""))
             out = pdf[cols].copy()
             out["features"] = feats
@@ -126,6 +135,165 @@ def synthetic_media(spark, sf_dir: str) -> DataFrame:
             F.lit("synthetic").alias("codec"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------
+# REAL codecs (round-4): pure-Python/numpy decoders for two actual
+# on-disk formats — binary PPM (P6) images and RIFF/WAVE PCM16 audio.
+# These prove the decode plumbing on non-stub bytes: full header
+# parsing (PPM comments, WAV chunk walking) + per-pixel/per-sample
+# feature extraction, vectorized per payload with numpy. A Pillow or
+# torchaudio decoder registers through the same register_decoder hook.
+# --------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> List[float]:
+    """Binary PPM (P6) -> FEATURE_DIM features:
+    [width, height, maxval, mean_r, mean_g, mean_b, min_r, max_r, 0...].
+    Raises ValueError on malformed input (a codec, not a heuristic)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header tokenizer: whitespace-separated tokens, '#' starts a
+    # comment that runs to end-of-line (the PPM spec)
+    pos = 2
+    tokens: List[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.index(b"\n", pos)
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw RGB
+    w, h, maxval = tokens
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    rgb = px.reshape(h, w, 3).astype(np.int64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    n = w * h
+    out = [
+        float(w), float(h), float(maxval),
+        float(r.sum()) / n, float(g.sum()) / n, float(b.sum()) / n,
+        float(r.min()), float(r.max()),
+    ]
+    return out + [0.0] * (FEATURE_DIM - len(out))
+
+
+def decode_wav_pcm16(payload: bytes) -> List[float]:
+    """RIFF/WAVE PCM16 -> FEATURE_DIM features:
+    [n_samples, sample_rate, n_channels, sum, mean, rms, min, max,
+    first, last, 0...]. Walks the chunk list (fmt / data in any order,
+    other chunks skipped) like a real reader. The features column is
+    float32, so the ORACLE checks the integral statistics (sum rather
+    than mean — both are in the vector; integers < 2^24 round-trip
+    float32 exactly)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 supported")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = len(s)
+    if n == 0:
+        out = [0.0, float(rate), float(n_channels)]
+        return out + [0.0] * (FEATURE_DIM - len(out))
+    import math
+
+    out = [
+        float(n), float(rate), float(n_channels),
+        float(s.sum()),
+        float(s.sum()) / n,
+        math.sqrt(float((s * s).sum()) / n),
+        float(s.min()), float(s.max()), float(s[0]), float(s[-1]),
+    ]
+    return out + [0.0] * (FEATURE_DIM - len(out))
+
+
+def _ppm_bytes(d: int) -> bytes:
+    """Deterministic P6 image for doc d: R ramps along x from d%200
+    (no wraparound: 199 + 7 < 256), G/B constant per image, plus a
+    header comment so decoders must handle real PPM headers."""
+    import numpy as np
+
+    w, h = 4 + d % 5, 3 + d % 4
+    r0, g0, b0 = d % 200, (7 * d) % 256, (13 * d) % 256
+    header = f"P6\n# jvst synthetic {d}\n{w} {h}\n255\n".encode()
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (r0 + np.arange(w, dtype=np.uint8))[None, :]
+    rgb[:, :, 1] = g0
+    rgb[:, :, 2] = b0
+    return header + rgb.tobytes()
+
+
+def _wav_bytes(d: int) -> bytes:
+    """Deterministic PCM16 WAV for doc d: n alternating +-a samples
+    (closed-form stats: mean = a*(n%2)/n, rms = a, min = -a, max = a)."""
+    import struct
+
+    import numpy as np
+
+    n = 50 + d % 100
+    rate = 8000 + (d % 5) * 1000
+    a = d % 100
+    s = np.full(n, a, dtype="<i2")
+    s[1::2] = -a
+    data = s.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def synthetic_real_media(spark, sf_dir: str, kind: str) -> DataFrame:
+    """(media_ref, media_type, payload, meta) with REAL format payloads
+    (kind = 'image' -> PPM, 'audio' -> WAV), generated deterministically
+    from doc_id via mapInPandas — the fixture for the real-codec oracle
+    queries."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    gen = _ppm_bytes if kind == "image" else _wav_bytes
+    prefix = "img-" if kind == "image" else "wav-"
+    out_schema = (
+        "media_ref string, media_type string, payload binary"
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_ref": [f"{prefix}{d}" for d in ids],
+                    "media_type": [kind] * len(ids),
+                    "payload": [gen(int(d)) for d in ids],
+                }
+            )
+
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs).mapInPandas(batches, out_schema)
 
 
 def frame_sample_plan(

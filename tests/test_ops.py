@@ -426,6 +426,67 @@ class TestMultimodal:
         finally:
             mm._DECODERS.pop("image", None)
 
+    def test_ppm_codec_decodes_real_bytes(self):
+        """The PPM decoder is a real P6 reader: handcrafted image with
+        a header comment, known pixels — exact per-channel stats; and
+        it REJECTS non-PPM bytes instead of fabricating features."""
+        import pytest as _pytest
+
+        from jvst_spark.ops.multimodal import decode_ppm
+
+        # 2x2: R = [[10, 11], [10, 11]], G = 20, B = 30
+        payload = (
+            b"P6\n# comment line\n2 2\n255\n"
+            + bytes([10, 20, 30, 11, 20, 30, 10, 20, 30, 11, 20, 30])
+        )
+        f = decode_ppm(payload)
+        assert f[:8] == [2.0, 2.0, 255.0, 10.5, 20.0, 30.0, 10.0, 11.0]
+        with _pytest.raises(ValueError):
+            decode_ppm(b"not an image")
+
+    def test_wav_codec_decodes_real_bytes(self):
+        """The WAV decoder walks RIFF chunks (extra chunk before data)
+        and decodes int16 samples little-endian."""
+        import struct
+
+        import pytest as _pytest
+
+        from jvst_spark.ops.multimodal import decode_wav_pcm16
+
+        samples = [100, -100, 50]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        payload = (
+            b"RIFF" + struct.pack("<I", 50 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"   # skipped chunk
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        f = decode_wav_pcm16(payload)
+        n, rate, ch, tot, mean, rms, mn, mx, first, last = f[:10]
+        assert (n, rate, ch) == (3.0, 8000.0, 1.0)
+        assert tot == 50.0 and abs(mean - 50.0 / 3) < 1e-9
+        assert (mn, mx, first, last) == (-100.0, 100.0, 100.0, 50.0)
+        assert abs(rms - (sum(s * s for s in samples) / 3) ** 0.5) < 1e-9
+        with _pytest.raises(ValueError):
+            decode_wav_pcm16(b"RIFFxxxxNOPE")
+
+    def test_real_codecs_via_register_decoder(self, spark):
+        """register_decoder routes the real codecs through the batch
+        decode path (the deployment hook, not the per-call override)."""
+        from jvst_spark.ops import multimodal as mm
+
+        mm.register_decoder("image", mm.decode_ppm)
+        try:
+            media = mm.synthetic_real_media(spark, SF_DIR, "image").limit(10)
+            out = mm.decode_features(media).collect()
+            for r in out:
+                d = int(r["media_ref"].removeprefix("img-"))
+                w = 4 + d % 5
+                assert r["features"][0] == float(w)
+                assert r["features"][3] == (d % 200) + (w - 1) / 2.0
+        finally:
+            mm._DECODERS.pop("image", None)
+
     def test_frame_sample_plan(self, spark):
         from jvst_spark.ops.multimodal import frame_sample_plan, synthetic_media
 
