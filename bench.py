@@ -43,6 +43,10 @@ def get_spark(cores: int):
         .config("spark.driver.extraJavaOptions", gc)
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
+        # per-Column-call origin capture costs 5 py4j round trips per
+        # expression node (64% of cold plan-build traffic, measured:
+        # 2,597 -> 937 calls on the flagship build)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         # the bench table compresses to ~90B/doc; fine splits keep

@@ -19,6 +19,10 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # per-Column-call origin capture costs 5 py4j round trips per
+        # expression node (64% of cold plan-build traffic, measured:
+        # 2,597 -> 937 calls on the flagship build)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
