@@ -85,7 +85,13 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
             ]
         )
 
-    sh_df = df.select(
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    # 16 md5 passes per doc are CPU-bound — don't let a narrow input
+    # (1-2 size-based parquet splits) pin them to 2 cores; no-op on
+    # wide inputs (round-4: the old .cache() masked this in min-of-N
+    # benches by letting later runs reuse the first run's bands)
+    sh_df = ensure_min_parallelism(df).select(
         "doc_id",
         F.explode(
             F.array(word_shingles(tokens(F.col(text_col))))
@@ -188,8 +194,13 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokens of (+1/-1) at bit b is positive. One explode (doc x token)
     + one groupBy(doc) — linear, no O(n^2).
     """
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
     t = tokens(F.col(text_col))
-    toks_df = df.select("doc_id", F.explode(t).alias("tok"))
+    # per-token md5 bit expansion is CPU-bound (see minhash_bands)
+    toks_df = ensure_min_parallelism(df).select(
+        "doc_id", F.explode(t).alias("tok")
+    )
     h = F.md5(F.col("tok"))
     # per-token 64-bit vector packed as array<int> of +-1
     bits = F.flatten(

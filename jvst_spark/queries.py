@@ -1076,9 +1076,10 @@ WHERE len(list_filter(range(1, 65),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding near-pairs: 4x16-bit pigeonhole chunks, pairs
-    sharing a chunk verified by exact hamming <= 3. The only shuffle
-    is the chunk-key equality join; the cached chunk frame keeps the
-    signature pipeline single-evaluation across the self-join."""
+    sharing a chunk verified by exact hamming <= 3. Aggregate-then-pair
+    (round-4): one chunk-key groupBy collects bucket members, pairs
+    explode from the arrays — the signature pipeline evaluates once
+    with no executor-storage dependency."""
     from jvst_spark.ops.dedup import (
         simhash_near_pairs,
         simhash_signatures_fast,
