@@ -7,8 +7,8 @@ the per-document verdict lowers to pure Column expressions —
 entirely (round-1 weak item: `val_json_props` ran a row-at-a-time
 pandas UDF for a spec that is all required/integer/range/
 additionalProperties). pyeval remains the general fallback for
-arbitrary schemas (nested objects/arrays, uniqueItems, $ref, ...),
-exactly as the reference keeps its general VM
+arbitrary schemas (cyclic $ref, composite enums, patternProperties
+subschemas, ...), exactly as the reference keeps its general VM
 (src/validate_vm.c:1136-1592) while constant-folding what it can.
 
 Supported subset (try_lower returns None otherwise — never wrong,
@@ -25,8 +25,12 @@ only absent):
 - scalar EnumMatch at value level
 - object arms at ANY depth (subtree text via get_json_object feeds
   json_object_keys): ObjRequired, PropRange, ObjPropNames (string
-  checks over keys), ObjPropSet with identifier-named props, pattern
-  props only as gates, and boolean additionalProperties
+  checks over keys), ObjPropSet with identifier- or bracket-
+  addressable prop names (`$['a b']` path form), pattern props only
+  as gates, and boolean additionalProperties
+- acyclic $ref at any position (inlined at lowering time; cycles
+  stay on pyeval)
+- violation ROWS as well as verdicts (try_lower_full) — same subset
 
 Semantic parity contracts with pyeval (tested in
 test_json_builtin.py): strict JSON (NaN/Infinity rejected), numbers
@@ -82,9 +86,86 @@ from jvst_spark.spec.nodes import (
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# keys addressable via the bracket path form `$['key']` (round-4):
+# variant-path / JSON-path parsing offers no escape syntax inside the
+# quotes, so quote characters, backslashes, brackets, dots and control
+# chars stay on the pyeval path
+_BRACKET_OK = re.compile(r"^[^'\"\\\[\]\.\x00-\x1f]+$")
+
+
+def _vpath_step(key: str) -> str:
+    """One JSON-path step for `key` — dotted for identifiers, bracket
+    form otherwise (works for try_variant_get AND get_json_object)."""
+    if _IDENT.match(key):
+        return f".{key}"
+    if _BRACKET_OK.match(key):
+        return f"['{key}']"
+    raise _Unsupported(f"unaddressable key {key!r}")
+
 
 class _Unsupported(Exception):
     pass
+
+
+def _inline_refs(node: Node, defs: dict, stack: tuple = ()) -> Node:
+    """Expand acyclic $refs into the tree so ref'd specs reach the JVM
+    fast path (the reference compiles refs to VM CALL frames,
+    src/validate_vm.c:1449-1468 — a columnar plan has no call stack,
+    so inlining is the equivalent; cycles stay on pyeval)."""
+    import dataclasses
+
+    if len(stack) > 64:
+        raise _Unsupported("ref nesting too deep")
+    if isinstance(node, Ref):
+        if node.uri in stack:
+            raise _Unsupported("cyclic ref")
+        if node.uri not in defs:
+            raise _Unsupported("unresolved ref")
+        return _inline_refs(defs[node.uri], defs, stack + (node.uri,))
+    if isinstance(node, (And, Or, Xor)):
+        return dataclasses.replace(
+            node,
+            terms=tuple(_inline_refs(t, defs, stack) for t in node.terms),
+        )
+    if isinstance(node, Not):
+        return dataclasses.replace(
+            node, term=_inline_refs(node.term, defs, stack)
+        )
+    if isinstance(node, Switch):
+        return dataclasses.replace(
+            node,
+            arms=tuple(
+                (t, _inline_refs(a, defs, stack)) for t, a in node.arms
+            ),
+        )
+    if isinstance(node, ObjPropSet):
+        return dataclasses.replace(
+            node,
+            props=tuple(
+                (k, _inline_refs(s, defs, stack)) for k, s in node.props
+            ),
+            patterns=tuple(
+                (p, _inline_refs(s, defs, stack)) for p, s in node.patterns
+            ),
+            additional=_inline_refs(node.additional, defs, stack),
+        )
+    if isinstance(node, ObjPropNames):
+        return dataclasses.replace(
+            node, name_schema=_inline_refs(node.name_schema, defs, stack)
+        )
+    if isinstance(node, ArrItems):
+        return dataclasses.replace(
+            node,
+            positional=tuple(
+                _inline_refs(p, defs, stack) for p in node.positional
+            ),
+            additional=_inline_refs(node.additional, defs, stack),
+        )
+    if isinstance(node, ArrContains):
+        return dataclasses.replace(
+            node, schema=_inline_refs(node.schema, defs, stack)
+        )
+    return node
 
 
 def _T() -> Column:
@@ -140,12 +221,13 @@ class _Value:
         return F.try_variant_get(self._v, self._path, "boolean")
 
     def child(self, key: str) -> "_Value":
+        step = _vpath_step(key)
         sub_text = (
-            F.get_json_object(self.text, f"$.{key}")
+            F.get_json_object(self.text, f"${step}")
             if self.text is not None
             else None
         )
-        return _Value(self._v, f"{self._path}.{key}", sub_text)
+        return _Value(self._v, f"{self._path}{step}", sub_text)
 
     def keys(self) -> Column:
         if self.text is None:
@@ -629,8 +711,6 @@ def _lower_object_with_keys(node: Node, val: _Value, keys: Column) -> Column:
         if isinstance(n, ObjPropSet):
             conds = _T()
             for k, sub in n.props:
-                if not _IDENT.match(k):
-                    raise _Unsupported(f"non-identifier key {k!r}")
                 conds = conds & F.when(
                     F.array_contains(keys, k),
                     F.coalesce(_lower_value(sub, val.child(k)), _F()),
@@ -750,8 +830,7 @@ def _chk_object(node: Node) -> None:
             return _chk_string(arm)
         if isinstance(n, ObjPropSet):
             for k, sub in n.props:
-                if not _IDENT.match(k):
-                    raise _Unsupported(f"non-identifier key {k!r}")
+                _vpath_step(k)  # raises _Unsupported if unaddressable
                 _chk_value(sub)
             for pat, sub in n.patterns:
                 if not isinstance(sub, Valid):
@@ -1131,10 +1210,10 @@ def try_lower_full(spec) -> Optional[Callable[[Column], Column]]:
     once, downstream field reads are attribute refs."""
     from jvst_spark import errors as E
 
-    if spec.defs:
-        return None
-    root = spec.root
     try:
+        root = (
+            _inline_refs(spec.root, spec.defs) if spec.defs else spec.root
+        )
         _chk_value(root)
     except _Unsupported:
         return None
@@ -1184,10 +1263,10 @@ def try_lower(spec) -> Optional[Callable[[Column], Column]]:
     expression is null-safe: malformed/NULL documents -> False. The
     supportability check is structural, so this is safe to call
     without an active SparkSession."""
-    if spec.defs:
-        return None
-    root = spec.root
     try:
+        root = (
+            _inline_refs(spec.root, spec.defs) if spec.defs else spec.root
+        )
         _chk_value(root)
     except _Unsupported:
         return None

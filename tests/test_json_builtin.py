@@ -104,10 +104,11 @@ class TestFastPathSupported:
             {"$ref": "#/definitions/a",
              "definitions": {"a": {"properties": {"b": {"$ref": "#/definitions/a"}}}}},
             {"enum": [[1, 2]]},
-            {"properties": {"weird key!": {"type": "string"}}},
+            # quote/backslash keys have no bracket-path escape syntax
+            {"properties": {"we'ird": {"type": "string"}}},
             {"patternProperties": {"^x": {"type": "integer"}}},
         ],
-        ids=["cyclic-ref", "composite-enum", "non-ident-key",
+        ids=["cyclic-ref", "composite-enum", "unaddressable-key",
              "pattern-subschema"],
     )
     def test_unsupported_specs_fall_back(self, schema):
@@ -637,6 +638,55 @@ class TestExplainLowering:
         )
         for r in plan.apply_json(df, "body").violations().collect():
             assert r["message"] == E.invalid_msg(r["code"])
+
+    def test_acyclic_ref_specs_lower_with_parity(self, spark):
+        """Round-4: acyclic $refs inline into the fast path (the
+        reference's VM CALL frames have no columnar analogue, so
+        inlining is the lowering). Verdicts AND violations match
+        pyeval; cyclic refs still fall back."""
+        specs = [
+            {"$ref": "#/definitions/pos",
+             "definitions": {"pos": {"type": "integer", "minimum": 1}}},
+            {"type": "object",
+             "properties": {"a": {"$ref": "#/definitions/s"}},
+             "definitions": {"s": {"type": "string", "minLength": 2}}},
+            {"$ref": "#/definitions/a",
+             "definitions": {"a": {"$ref": "#/definitions/b"},
+                             "b": {"maximum": 5}}},
+            {"items": {"$ref": "#/definitions/e"},
+             "definitions": {"e": {"type": "integer"}}},
+        ]
+        docs = ["1", "0", "-3", '"x"', "{}", '{"a": "xy"}', '{"a": "x"}',
+                "6", "5", "null", "[1, 2]", '[1, "x"]']
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        for schema in specs:
+            assert try_lower_full(compile_schema(schema)) is not None, schema
+            self._check(spark, schema, docs)
+
+    def test_bracket_addressable_keys_lower_with_parity(self, spark):
+        """Round-4: non-identifier prop names reach the fast path via
+        the `$['key']` bracket path form."""
+        schema = {
+            "type": "object",
+            "required": ["a b"],
+            "properties": {
+                "a b": {"type": "integer"},
+                "c-d": {"minimum": 0},
+                "x.y": {"type": "string"},
+            },
+            "additionalProperties": False,
+        }
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        # '.' inside a key would be ambiguous against the dotted form
+        assert try_lower_full(compile_schema(schema)) is None
+        del schema["properties"]["x.y"]
+        assert try_lower_full(compile_schema(schema)) is not None
+        docs = ["{}", '{"a b": 1}', '{"a b": 1.5}',
+                '{"a b": 2, "c-d": -1}', '{"a b": 2, "c-d": 3}',
+                '{"a b": 2, "zz": 1}', '{"a  b": 2}']
+        self._check(spark, schema, docs)
 
     def test_unsupported_spec_still_uses_pyeval(self, spark):
         """Specs outside the variant subset keep the authoritative
