@@ -157,12 +157,23 @@ def jaccard_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard: keep
-    (doc_a, doc_b, jaccard) above threshold. Joins the (small)
-    candidate set back to shingle arrays — broadcast when it fits."""
-    sh = docs.select(
+    (doc_a, doc_b, jaccard) above threshold.
+
+    Candidate-pruned (round-4, replacing a corpus-scale .cache()):
+    shingle arrays are derived only for docs that appear in some
+    candidate pair (a semi-join on the exploded pair ids), so the two
+    verification sides each re-derive shingles for the candidate
+    SUBSET — bounded work with no executor-storage dependency, instead
+    of pinning the whole corpus's shingles."""
+    ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(ids, "doc_id").select(
         F.col("doc_id"),
         word_shingles(tokens(F.col(text_col))).alias("sh"),
-    ).cache()  # joined twice (a/b side); cache avoids re-deriving
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "doc_a").join(b, "doc_b")
@@ -180,10 +191,15 @@ def jaccard_pairs(
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", threshold: float = 0.7
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
-    return jaccard_pairs(
-        lsh_candidate_pairs(df, text_col), df, text_col, threshold
-    )
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+
+    The candidate PAIRS are cached — jaccard_pairs references them
+    three times (two id projections + the verify join) and re-running
+    the banding pipeline per reference would triple the corpus work.
+    Unlike the corpus-scale band cache this replaced, the pair list is
+    O(duplicates found), bounded and small by construction."""
+    cand = lsh_candidate_pairs(df, text_col).cache()
+    return jaccard_pairs(cand, df, text_col, threshold)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
