@@ -36,3 +36,28 @@ def test_plans_md_has_no_error_sections():
     with open(os.path.join(REPO_ROOT, "PLANS.md")) as f:
         text = f.read()
     assert "PLAN ERROR" not in text
+
+
+def test_no_python_in_validation_plans():
+    """The audited plan-shape invariants that define the engine's 100 TB
+    story: every row-level validation query — typed AND dynamic JSON,
+    verdicts AND violations — runs with zero Python nodes (the Arrow
+    backend's mapInArrow stage is the one deliberate exception)."""
+    with open(os.path.join(REPO_ROOT, "PLANS.md")) as f:
+        text = f.read()
+    sections = dict(
+        re.findall(r"^## (\S+)\n\nchecks: `(\{[^`]+\})`", text, re.M)
+    )
+    python_free = [
+        "val_flagship_verdicts",
+        "val_flagship_violations", "val_flagship_metrics",
+        "val_flagship_metrics_by_bucket", "val_spans_unique",
+        "val_json_props", "val_json_nested", "val_json_array",
+        "val_json_violations",
+    ]
+    for name in python_free:
+        assert name in sections, name
+        assert "'python_udf': False" in sections[name], (
+            name, sections[name]
+        )
+    assert "'arrow_stage': True" in sections["val_flagship_verdicts_arrow"]
