@@ -49,6 +49,7 @@ def main():
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", "6g")
         .getOrCreate()
     )

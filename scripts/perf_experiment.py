@@ -17,6 +17,7 @@ spark = (SparkSession.builder.master("local[32]")
          .config("spark.sql.shuffle.partitions", "64")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
+         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
          .config("spark.driver.memory", "48g")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")

@@ -20,6 +20,7 @@ b = (
     .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
+    .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     .config("spark.driver.memory", "16g")
 )
 # pin GC parallelism to the simulated executor size — otherwise the
