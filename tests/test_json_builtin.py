@@ -688,6 +688,105 @@ class TestExplainLowering:
                 '{"a b": 2, "zz": 1}', '{"a  b": 2}']
         self._check(spark, schema, docs)
 
+    def test_fuzz_explain_matches_pyeval(self, spark):
+        """Seeded fuzz for the VIOLATION lowering: random supported
+        specs x random documents — codes, paths, and order must match
+        the compiled explainer on every row (the verdict fuzz's
+        sibling, round 4)."""
+        import random
+
+        rng = random.Random(20260817)
+        KEYS = ["a", "b", "k", "meta", "n1", "a b"]
+
+        def scalar_spec():
+            return rng.choice([
+                {"type": "integer", "minimum": rng.randint(-5, 0),
+                 "maximum": rng.randint(1, 9)},
+                {"type": "number", "multipleOf": rng.choice([0.5, 2, 0.01])},
+                {"type": "string", "minLength": rng.randint(0, 2),
+                 "maxLength": rng.randint(3, 6)},
+                {"type": "string", "pattern": rng.choice(["^a", "[0-9]$"])},
+                {"type": "boolean"},
+                {"enum": rng.sample([1, 2.5, "x", "y", True, None], 3)},
+                {"type": "array", "minItems": rng.randint(0, 2),
+                 "maxItems": rng.randint(2, 4),
+                 "items": rng.choice([
+                     {"type": "integer"},
+                     {"type": "string", "maxLength": 4},
+                 ]),
+                 "uniqueItems": rng.random() < 0.5},
+                {"contains": {"type": "integer", "minimum": 0}},
+                {"items": [{"type": "integer"}, {"type": "string"}],
+                 "additionalItems": rng.choice([True, False])},
+                {"not": {"type": "integer"}},
+                {"anyOf": [{"type": "integer"}, {"minLength": 2}]},
+            ])
+
+        def obj_spec(depth):
+            props = {}
+            for key in rng.sample(KEYS, rng.randint(1, 3)):
+                if depth > 0 and rng.random() < 0.3:
+                    props[key] = obj_spec(depth - 1)
+                else:
+                    props[key] = scalar_spec()
+            out = {"type": "object", "properties": props}
+            if rng.random() < 0.5:
+                out["required"] = rng.sample(
+                    list(props), rng.randint(1, len(props))
+                )
+            if rng.random() < 0.4:
+                out["additionalProperties"] = False
+            if rng.random() < 0.3:
+                out["minProperties"] = rng.randint(0, 2)
+            return out
+
+        def value(depth):
+            r = rng.random()
+            if r < 0.15:
+                return rng.randint(-8, 10)
+            if r < 0.25:
+                return rng.choice([0.5, 2.0, 2.5, -1.25])
+            if r < 0.35:
+                return rng.choice(["", "a", "ax", "x9", "abcdefg"])
+            if r < 0.42:
+                return rng.choice([True, False, None])
+            if r < 0.55:
+                return [value(0) for _ in range(rng.randint(0, 4))]
+            d = {}
+            for key in rng.sample(KEYS + ["zz"], rng.randint(0, 4)):
+                d[key] = value(depth - 1) if depth > 0 else rng.randint(0, 5)
+            return d
+
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        n_checked = 0
+        for trial in range(15):
+            schema = obj_spec(1)
+            spec = compile_schema(schema)
+            if try_lower_full(spec) is None:
+                continue
+            n_checked += 1
+            docs = [json.dumps(value(2)) for _ in range(25)]
+            docs += ['{"a":', "7", "null", '"s"', "[1]"]
+            plan = ValidationPlan(spec)
+            df = spark.createDataFrame(
+                [(str(i), d) for i, d in enumerate(docs)],
+                ["doc_id", "body"],
+            )
+            got = {
+                int(r["doc_id"]): (
+                    r["valid"],
+                    [(v["code"], v["path"]) for v in r["_violations"]],
+                )
+                for r in plan.apply_json(df, "body").frame.collect()
+            }
+            for i, d in enumerate(docs):
+                want = _pyeval_violations(spec, d)
+                assert got[i] == (len(want) == 0, want), (
+                    schema, d, got[i], want
+                )
+        assert n_checked >= 8, f"only {n_checked} specs lowered"
+
     def test_unsupported_spec_still_uses_pyeval(self, spark):
         """Specs outside the variant subset keep the authoritative
         pandas-UDF path (verdicts + violations from the explainer)."""
