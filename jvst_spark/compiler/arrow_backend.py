@@ -971,6 +971,254 @@ class _Compiler:
         return switch
 
 
+# ---- violation rows (round-4) --------------------------------------
+#
+# The Arrow backend's check decomposition mirrors typed.decompose_checks
+# EXACTLY (same codes, same paths incl. "$[*]" array-leaf stars, same
+# null-guard semantics) so all three backends produce identical
+# violation rows for the same input — verified by running the same
+# DuckDB oracle (_VIOLATIONS_SQL) against both.
+
+
+def _np_valid(a) -> np.ndarray:
+    return pc.is_valid(a).to_numpy(zero_copy_only=False)
+
+
+def _adecompose(comp: "_Compiler", node: Node, dtype: DataType, path: str):
+    """Flatten into [(code, path, ev)] where ev: LOCAL arrow array ->
+    np bool pass-mask. Null guards compose by wrapping at each level
+    (struct-field null / switch-value null => forced pass, exactly
+    typed's `_guard(null_guard | col.isNull(), ...)`)."""
+    from jvst_spark import errors as E
+    from jvst_spark.compiler.typed import _LEAF_CODES, _arm_of
+
+    out: list = []
+    if isinstance(node, Valid):
+        return out
+    if isinstance(node, Invalid):
+        code = node.code or E.INVALID_UNEXPECTED_TOKEN
+        out.append((code, path, lambda a: np.zeros(len(a), dtype=bool)))
+        return out
+    if isinstance(node, And):
+        for t in node.terms:
+            out.extend(_adecompose(comp, t, dtype, path))
+        return out
+    if isinstance(node, Switch):
+        if isinstance(dtype, NullType):
+            return _adecompose(comp, node.arm("null"), dtype, path)
+        arm_node = node.arm(_arm_of(dtype))
+        if isinstance(node.arm("null"), Invalid):
+            out.append((E.INVALID_UNEXPECTED_TOKEN, path, _np_valid))
+        for code, p, ev in _adecompose(comp, arm_node, dtype, path):
+
+            def null_pass(a, ev=ev):
+                return ev(a) | ~_np_valid(a)
+
+            out.append((code, p, null_pass))
+        return out
+    if isinstance(node, StrLength) and isinstance(dtype, StringType):
+        if node.lo > 0:
+            out.append((
+                E.INVALID_LENGTH_TOO_SHORT, path,
+                lambda a, lo=node.lo: _np_bool(
+                    pc.greater_equal(pc.utf8_length(a), lo), len(a)
+                ),
+            ))
+        if node.hi is not None:
+            out.append((
+                E.INVALID_LENGTH_TOO_LONG, path,
+                lambda a, hi=node.hi: _np_bool(
+                    pc.less_equal(pc.utf8_length(a), hi), len(a)
+                ),
+            ))
+        return out
+    if isinstance(node, ItemRange) and isinstance(dtype, ArrayType):
+
+        def lens_of(a):
+            off, _ = _offsets(a)
+            return off[1:] - off[:-1]
+
+        if node.lo > 0:
+            out.append((
+                E.INVALID_TOO_FEW_ITEMS, path,
+                lambda a, lo=node.lo: lens_of(a) >= lo,
+            ))
+        if node.hi is not None:
+            out.append((
+                E.INVALID_TOO_MANY_ITEMS, path,
+                lambda a, hi=node.hi: lens_of(a) <= hi,
+            ))
+        return out
+    if isinstance(node, PropRange) and isinstance(dtype, (StructType, MapType)):
+        if isinstance(dtype, StructType):
+            names = dtype.fieldNames()
+
+            def nprops(a, names=names):
+                cnt = np.zeros(len(a), dtype=np.int64)
+                for fname in names:
+                    cnt += _np_valid(a.field(fname))
+                return cnt
+
+        else:
+            comp._map_keys_ok(dtype)
+
+            def nprops(a):
+                off, _, _ = _map_parts(a)
+                return off[1:] - off[:-1]
+
+        if node.lo > 0:
+            out.append((
+                E.INVALID_TOO_FEW_PROPS, path,
+                lambda a, lo=node.lo: nprops(a) >= lo,
+            ))
+        if node.hi is not None:
+            out.append((
+                E.INVALID_TOO_MANY_PROPS, path,
+                lambda a, hi=node.hi: nprops(a) <= hi,
+            ))
+        return out
+    if isinstance(node, ObjPropSet) and isinstance(dtype, StructType):
+        props = dict(node.props)
+        for f in dtype.fields:
+            applying = []
+            if f.name in props:
+                applying.append(props[f.name])
+            for pat, pn in node.patterns:
+                if redialect.search(pat, f.name):
+                    applying.append(pn)
+            if not applying and not isinstance(node.additional, Valid):
+                applying.append(node.additional)
+            for sub in applying:
+                for code, p, ev in _adecompose(
+                    comp, sub, f.dataType, f"{path}.{f.name}"
+                ):
+
+                    def field_wrap(a, ev=ev, name=f.name):
+                        fcol = a.field(name)
+                        return ev(fcol) | ~_np_valid(fcol)
+
+                    out.append((code, p, field_wrap))
+        return out
+    if (
+        isinstance(node, ArrItems)
+        and isinstance(dtype, ArrayType)
+        and not node.positional
+    ):
+        elem_checks = _adecompose(
+            comp, node.additional, dtype.elementType, "$"
+        )
+        for code, p, ev in elem_checks:
+
+            def forall_wrap(a, ev=ev):
+                off, values = _offsets(a)
+                inner = (
+                    ev(values)
+                    if len(values)
+                    else np.ones(0, dtype=bool)
+                )
+                # null array -> check fails here; the enclosing
+                # switch's null wrap rescues it (typed: forall(null)
+                # -> null -> fires unless guarded)
+                return _seg_all(~inner, off) & _np_valid(a)
+
+            out.append((code, f"{path}[*]" + p[1:], forall_wrap))
+        return out
+    if isinstance(node, (Or, Xor, Not)):
+        from jvst_spark import errors as E2
+
+        ev = comp.compile(node, dtype)
+        out.append((E2.INVALID_SPLIT_CONDITION, path, ev))
+        return out
+    code = _LEAF_CODES.get(type(node), E.INVALID_UNEXPECTED_TOKEN)
+    if isinstance(node, ArrItems):
+        code = E.INVALID_MATCH_CASE
+    out.append((code, path, comp.compile(node, dtype)))
+    return out
+
+
+def compile_arrow_validate(
+    root: Node,
+    row_type: StructType,
+    id_col: str,
+    defs: Optional[dict] = None,
+):
+    """Batch fn for df.mapInArrow: RecordBatch -> (doc_id, valid,
+    _violations list<struct<code,path,message>>) — the full validation
+    output (not just verdicts) from Arrow kernels."""
+    from jvst_spark.errors import invalid_msg
+
+    comp = _Compiler(defs or {})
+    checks = _adecompose(comp, root, row_type, "$")
+    codes = np.array([c for c, _, _ in checks], dtype=np.int32)
+    paths = np.array([p for _, p, _ in checks], dtype=object)
+    msgs = np.array(
+        [invalid_msg(int(c)) for c in codes], dtype=object
+    )
+    vio_t = pa.list_(
+        pa.struct(
+            [("code", pa.int32()), ("path", pa.string()),
+             ("message", pa.string())]
+        )
+    )
+
+    def run(batches):
+        for batch in batches:
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            names = batch.schema.names
+            struct = pa.StructArray.from_arrays(cols, names=names)
+            n = len(struct)
+            if checks and n:
+                passm = np.vstack([ev(struct) for _, _, ev in checks])
+                valid = passm.all(axis=0)
+                row_idx, chk_idx = np.nonzero(~passm.T)
+                counts = np.bincount(row_idx, minlength=n)
+                offsets = pa.array(
+                    np.concatenate(([0], np.cumsum(counts))).astype(
+                        np.int32
+                    )
+                )
+                flat = pa.StructArray.from_arrays(
+                    [
+                        pa.array(codes[chk_idx], type=pa.int32()),
+                        pa.array(paths[chk_idx], type=pa.string()),
+                        pa.array(msgs[chk_idx], type=pa.string()),
+                    ],
+                    names=["code", "path", "message"],
+                )
+                vio = pa.ListArray.from_arrays(offsets, flat)
+            else:
+                valid = np.ones(n, dtype=bool)
+                vio = pa.array([[] for _ in range(n)], type=vio_t)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index(id_col)),
+                    pa.array(valid),
+                    vio,
+                ],
+                names=["doc_id", "valid", "_violations"],
+            )
+
+    return run
+
+
+def arrow_validate(plan, df, id_col: str = "doc_id"):
+    """Full validation frame (doc_id, valid, _violations) via the Arrow
+    backend — row-identical to apply_typed's output columns (raises
+    Unsupported if the spec needs a fallback)."""
+    row_type = StructType([df.schema[c] for c in df.columns])
+    run = compile_arrow_validate(
+        plan.spec.root, row_type, id_col, plan.spec.defs
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInArrow(
+        run,
+        f"doc_id {id_t}, valid boolean, "
+        "_violations array<struct<code:int,path:string,message:string>>",
+    )
+
+
 def compile_arrow_verdicts(
     root: Node,
     row_type: StructType,

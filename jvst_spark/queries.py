@@ -119,6 +119,25 @@ def val_flagship_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("val_flagship_violations_arrow", _VIOLATIONS_SQL)
+def val_flagship_violations_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME violation rows via the Arrow-kernel backend (round-4:
+    the fastest backend is output-complete — its check decomposition
+    mirrors the typed path's codes/paths/guards exactly, so both hash
+    against one oracle)."""
+    from jvst_spark.compiler.arrow_backend import arrow_validate
+
+    df = spans_from_documents(spark, sf_dir)
+    res = arrow_validate(_flagship_plan(), df)
+    return res.select(
+        "doc_id", F.explode("_violations").alias("v")
+    ).select(
+        "doc_id",
+        F.col("v.code").alias("code"),
+        F.col("v.path").alias("path"),
+    )
+
+
 @query(
     "val_flagship_metrics",
     f"""

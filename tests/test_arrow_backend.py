@@ -36,6 +36,32 @@ class TestArrowFlagship:
         }
         assert av == cv and len(av) == 500
 
+    def test_violation_parity_with_column_path(self, spark, spans_df):
+        """Round-4: arrow_validate's violation ROWS — codes, paths
+        (incl. '$[*]' array-leaf stars), messages, AND order — equal
+        the typed Column path's on every flagship doc."""
+        from jvst_spark.compiler.arrow_backend import arrow_validate
+
+        plan = ValidationPlan(compile_schema(FLAGSHIP_SPEC))
+        av = {
+            r["doc_id"]: (
+                r["valid"],
+                [(v["code"], v["path"], v["message"])
+                 for v in r["_violations"]],
+            )
+            for r in arrow_validate(plan, spans_df).collect()
+        }
+        tv = {
+            r["doc_id"]: (
+                r["valid"],
+                [(v["code"], v["path"], v["message"])
+                 for v in r["_violations"]],
+            )
+            for r in plan.apply_typed(spans_df).frame.collect()
+        }
+        assert av == tv and len(av) == 500
+        assert any(v[1] for v in av.values())  # violations present
+
 
 class TestArrowKernelsDirect:
     """Evaluate kernels directly on pyarrow arrays vs pyeval (no Spark
