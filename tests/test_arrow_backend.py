@@ -399,6 +399,73 @@ class TestArrowConformanceCorpus:
         assert not mismatches, mismatches[:10]
 
 
+class TestArrowValidateCorpus:
+    def test_corpus_map_docs_validate_invariants(self):
+        """arrow_validate over the corpus' map-typed object docs: the
+        verdict matches the suite expectation AND valid <=> zero
+        violation rows (the decomposition's internal consistency)."""
+        from pyspark.sql.types import (
+            BooleanType, DoubleType, LongType, MapType, StringType,
+        )
+
+        from jvst_spark.compiler.arrow_backend import (
+            compile_arrow_validate,
+        )
+        from tests.conftest import CONFORMANCE_CASES
+
+        checked = 0
+        bad = []
+        for suite, schema, desc, doc, expected in CONFORMANCE_CASES:
+            if not isinstance(doc, dict):
+                continue
+            vals = list(doc.values())
+            if vals and all(isinstance(v, bool) for v in vals):
+                pa_t, sp_t = pa.bool_(), BooleanType()
+            elif vals and all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in vals
+            ):
+                pa_t, sp_t = pa.int64(), LongType()
+            elif vals and all(isinstance(v, float) for v in vals):
+                pa_t, sp_t = pa.float64(), DoubleType()
+            elif all(isinstance(v, str) for v in vals):
+                pa_t, sp_t = pa.string(), StringType()
+            else:
+                continue
+            spec = compile_schema(schema)
+            from pyspark.sql.types import StructField, StructType as ST
+
+            dt = MapType(StringType(), sp_t, True)
+            row_type = ST([
+                StructField("doc_id", StringType(), False),
+                StructField("m", dt, True),
+            ])
+            if not supports(spec.root, dt, spec.defs):
+                continue
+            # the row is an object of its columns; validate the map
+            # column directly through the decomposition
+            from jvst_spark.compiler.arrow_backend import _adecompose
+            from jvst_spark.compiler.arrow_backend import _Compiler
+
+            try:
+                checks = _adecompose(
+                    _Compiler(spec.defs), spec.root, dt, "$"
+                )
+            except Unsupported:
+                continue
+            arr = pa.array(
+                [list(doc.items())], type=pa.map_(pa.string(), pa_t)
+            )
+            passes = [bool(ev(arr)[0]) for _, _, ev in checks]
+            got_valid = all(passes)
+            n_vios = sum(1 for p in passes if not p)
+            if got_valid != expected or got_valid != (n_vios == 0):
+                bad.append((suite, desc, doc, passes, expected))
+            checked += 1
+        assert checked >= 100, f"only {checked} corpus docs decomposed"
+        assert not bad, bad[:10]
+
+
 class TestArrowUniqueItems:
     """Round-3: uniqueItems on scalar-element arrays (the reference's
     UEM semantics: numbers as doubles, -0.0 bitwise distinct)."""
