@@ -259,6 +259,34 @@ class ValidationPlan:
             F.col("_r.vios").alias("_violations"),
         )
 
+    # ------------------------------------------------ arrow backend --
+
+    def apply_arrow(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+    ) -> "ValidationResult":
+        """Validate typed rows through the Arrow-kernel backend
+        (mapInArrow) — row-identical output to apply_typed (verdicts
+        AND violation rows; parity pinned in test_arrow_backend), ~2x
+        faster per core on this host. Raises
+        arrow_backend.Unsupported when the spec needs the Column path
+        (`supports()` reports the subset honestly).
+
+        Note: partition_id is the POST-guard partition (mapInArrow
+        output), deterministic only under the same partitioning — use
+        metrics_by with a content-derived key for reproducible
+        rollups, as with every backend."""
+        from jvst_spark.compiler.arrow_backend import arrow_validate
+
+        base = arrow_validate(self, df, id_col=id_col).select(
+            "doc_id",
+            F.spark_partition_id().alias("partition_id"),
+            "valid",
+            "_violations",
+        )
+        return ValidationResult(base)
+
     # -------------------------------------------- dynamic JSON mode --
 
     def apply_json(
