@@ -30,19 +30,33 @@ N_HASHES = 16
 BAND_SIZE = 4  # -> 4 bands; similarity threshold ~ (1/b)^(1/r) ~ 0.7
 
 
-def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", with_ids: bool = True
+) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, dup_count,
-    doc_ids sorted). One shuffle on the hash."""
+    doc_ids sorted). One shuffle on the hash.
+
+    `with_ids=False` is the 100 TB mode: a pathological group (e.g.
+    every empty document in the corpus) would otherwise collect_list
+    millions of ids into ONE aggregation row; the scale shape keeps
+    (hash, count, min_id, max_id) and lets callers join back by hash
+    for the groups they actually act on."""
     h = F.md5(F.col(text_col))
-    return (
-        df.select(h.alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .agg(
+    base = df.select(h.alias("content_hash"), "doc_id").groupBy(
+        "content_hash"
+    )
+    if with_ids:
+        agg = base.agg(
             F.count("*").alias("dup_count"),
             F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
         )
-        .filter(F.col("dup_count") >= 2)
-    )
+    else:
+        agg = base.agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    return agg.filter(F.col("dup_count") >= 2)
 
 
 def minhash_signature(toks: Column, n_hashes: int = N_HASHES) -> Column:

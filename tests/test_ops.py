@@ -28,6 +28,17 @@ class TestDedup:
         n_inj = docs.filter("doc_id % 43 = 0").count()
         assert len(groups) >= n_inj
         assert all(g["dup_count"] >= 2 for g in groups)
+        # scale mode: no per-group id list, same groups
+        scale = exact_dup_groups(
+            docs.unionByName(copies), with_ids=False
+        ).collect()
+        assert {g["content_hash"] for g in scale} == {
+            g["content_hash"] for g in groups
+        }
+        by_hash = {g["content_hash"]: g for g in groups}
+        for g in scale:
+            ids = by_hash[g["content_hash"]]["doc_ids"]
+            assert (g["min_doc_id"], g["max_doc_id"]) == (ids[0], ids[-1])
 
     def test_minhash_lsh_finds_near_copies(self, spark, docs):
         from jvst_spark.ops.dedup import minhash_lsh_dedup
