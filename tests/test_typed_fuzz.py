@@ -123,6 +123,100 @@ def _doc(row):
     return out
 
 
+def test_arrow_backend_matches_pyeval_on_random_schemas(spark):
+    """Round-4: the same fuzz through the Arrow kernels, with the
+    schema pool extended to the newly-widened subset — positional
+    items/additionalItems, composite-element uniqueItems, object- and
+    array-valued enums — plus the decomposition invariant
+    (valid == every check passes)."""
+    import pyarrow as pa
+
+    from jvst_spark.compiler.arrow_backend import (
+        _adecompose,
+        _Compiler,
+        supports,
+    )
+
+    rng = random.Random(20260817)
+
+    def arrow_schema(rng):
+        r = rng.random()
+        if r < 0.2:
+            return rng.choice([
+                {"type": "array",
+                 "items": [{"type": "number", "minimum": 0},
+                           {"type": "number", "maximum": 5}],
+                 "additionalItems": rng.choice(
+                     [True, False, {"multipleOf": 2}])},
+                {"enum": [[0.5, 1.0], [2.0], [], 5, "x"]},
+                {"type": "array", "uniqueItems": True},
+            ])
+        return _schema(rng)
+
+    rows = [_row(rng) for _ in range(60)]
+    docs = [_doc(r) for r in rows]
+
+    def cell(v):
+        # struct field e as dict for pyarrow
+        a, b, k, m, e = v
+        return {
+            "a": a, "b": b, "k": list(k) if k is not None else None,
+            "m": m,
+            "e": None if e is None else {"x": e[0], "y": e[1]},
+        }
+
+    pa_rows = pa.array(
+        [cell(r) for r in rows],
+        type=pa.struct([
+            ("a", pa.int64()), ("b", pa.string()),
+            ("k", pa.list_(pa.float64())), ("m", pa.bool_()),
+            ("e", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        ]),
+    )
+    # the array column alone, for array-focused schemas
+    pa_arrays = pa.array(
+        [list(r[2]) if r[2] is not None else None for r in rows],
+        type=pa.list_(pa.float64()),
+    )
+    arr_docs = [list(r[2]) if r[2] is not None else None for r in rows]
+
+    n_checked = 0
+    for trial in range(25):
+        schema = arrow_schema(rng)
+        spec = compile_schema(schema)
+        pyv = compile_python(spec.root, spec.defs)
+        # run over the struct row AND over the bare array column
+        for dt, arr, the_docs in (
+            (ROW_TYPE, pa_rows, docs),
+            (ArrayType(DoubleType(), True), pa_arrays, arr_docs),
+        ):
+            if not supports(spec.root, dt, spec.defs):
+                continue
+            comp = _Compiler(spec.defs)
+            got = comp.compile(spec.root, dt)(arr)
+            checks = _adecompose(_Compiler(spec.defs), spec.root, dt, "$")
+            if checks:
+                import numpy as np
+
+                passm = np.vstack([ev(arr) for _, _, ev in checks])
+                decomposed_valid = passm.all(axis=0)
+            else:
+                decomposed_valid = [True] * len(arr)
+            for i, doc in enumerate(the_docs):
+                if doc is None and dt != ROW_TYPE:
+                    # null array cell: the Switch null arm decides
+                    want = pyv(None)
+                else:
+                    want = pyv(doc)
+                assert bool(got[i]) == want, (schema, doc, dt)
+                assert bool(decomposed_valid[i]) == want, (
+                    "decomposition disagrees", schema, doc, dt,
+                    [(c, p) for c, p, _ in checks],
+                )
+                n_checked += 1
+    assert n_checked >= 1500, n_checked
+
+
 def test_typed_lowering_matches_pyeval_on_random_schemas(spark):
     rng = random.Random(816)
     rows = [_row(rng) for _ in range(60)]
