@@ -26,8 +26,11 @@ only absent):
 - object arms at ANY depth (subtree text via get_json_object feeds
   json_object_keys): ObjRequired, PropRange, ObjPropNames (string
   checks over keys), ObjPropSet with identifier- or bracket-
-  addressable prop names (`$['a b']` path form), pattern props only
-  as gates, and boolean additionalProperties
+  addressable prop names (`$['a b']` path form), pattern props as
+  gates or forbidden-key rules (Valid/Invalid — covers BOTH
+  `dependencies` desugars), and boolean additionalProperties
+- value-level Switches nested inside type arms (the schema-form
+  `dependencies` / merged anyOf-of-schemas shape) via arm projection
 - acyclic $ref at any position (inlined at lowering time; cycles
   stay on pyeval)
 - violation ROWS as well as verdicts (try_lower_full) — same subset
@@ -244,6 +247,25 @@ class _Value:
     def variant(self) -> Column:
         """The raw variant at this path (for let-binding)."""
         return F.try_variant_get(self._v, self._path, "variant")
+
+
+def _arm_project(node: Node, arm: str) -> Node:
+    """Normalize an ARM subtree: a value-level Switch nested inside a
+    type arm (the shape `dependencies`' schema-form desugar and
+    merged anyOf-of-full-schemas produce) re-dispatches on the same
+    value, whose type this arm already fixed — so it IS its matching
+    arm. Combinators project through; leaves pass unchanged."""
+    import dataclasses
+
+    if isinstance(node, (And, Or, Xor)):
+        return dataclasses.replace(
+            node, terms=tuple(_arm_project(t, arm) for t in node.terms)
+        )
+    if isinstance(node, Not):
+        return dataclasses.replace(node, term=_arm_project(node.term, arm))
+    if isinstance(node, Switch):
+        return _arm_project(dict(node.arms)[arm], arm)
+    return node
 
 
 def _boolish(node: Node, leaf) -> Column:
@@ -641,26 +663,43 @@ def _lower_value(node: Node, val: _Value) -> Column:
             expr = _F()
             # null
             expr = F.when(
-                typ == "VOID", _trivial_checks(arms["null"], "null", bound)
+                typ == "VOID",
+                _trivial_checks(
+                    _arm_project(arms["null"], "null"), "null", bound
+                ),
             ).otherwise(expr)
             expr = F.when(
                 typ == "BOOLEAN",
-                _trivial_checks(arms["boolean"], "boolean", bound),
+                _trivial_checks(
+                    _arm_project(arms["boolean"], "boolean"),
+                    "boolean",
+                    bound,
+                ),
             ).otherwise(expr)
             expr = F.when(
                 _is_num_type(typ),
-                _number_checks(arms["number"], bound.dbl()),
+                _number_checks(
+                    _arm_project(arms["number"], "number"), bound.dbl()
+                ),
             ).otherwise(expr)
             expr = F.when(
-                typ == "STRING", _string_checks(arms["string"], bound.s())
+                typ == "STRING",
+                _string_checks(
+                    _arm_project(arms["string"], "string"), bound.s()
+                ),
             ).otherwise(expr)
             expr = F.when(
-                typ.startswith("ARRAY"), _array_checks(arms["array"], bound)
+                typ.startswith("ARRAY"),
+                _array_checks(_arm_project(arms["array"], "array"), bound),
             ).otherwise(expr)
             if val.text is not None:
-                obj = _lower_object(arms["object"], bound)
+                obj = _lower_object(
+                    _arm_project(arms["object"], "object"), bound
+                )
             else:
-                obj = _trivial_checks(arms["object"], "object", None)
+                obj = _trivial_checks(
+                    _arm_project(arms["object"], "object"), "object", None
+                )
             expr = F.when(
                 typ.startswith("OBJECT") | typ.startswith("STRUCT"), obj
             ).otherwise(expr)
@@ -717,11 +756,23 @@ def _lower_object_with_keys(node: Node, val: _Value, keys: Column) -> Column:
                 ).otherwise(_T())
             pat_gates = []
             for pat, sub in n.patterns:
-                if not isinstance(sub, Valid):
+                jp = redialect.translate(pat, "java")
+                if isinstance(sub, Invalid):
+                    # forbidden-key pattern: no key may match
+
+                    def no_match(jp=jp):
+                        return F.forall(
+                            keys, lambda k: ~F.coalesce(k.rlike(jp), _F())
+                        )
+
+                    conds = conds & no_match()
+                elif not isinstance(sub, Valid):
                     raise _Unsupported(
                         "patternProperties with non-trivial subschema"
                     )
-                pat_gates.append(redialect.translate(pat, "java"))
+                # every pattern (Valid or Invalid) marks keys as
+                # matched for additionalProperties purposes
+                pat_gates.append(jp)
             if isinstance(n.additional, Invalid):
                 known = [k for k, _ in n.props]
 
@@ -833,7 +884,12 @@ def _chk_object(node: Node) -> None:
                 _vpath_step(k)  # raises _Unsupported if unaddressable
                 _chk_value(sub)
             for pat, sub in n.patterns:
-                if not isinstance(sub, Valid):
+                # Valid = additional-properties gate; Invalid = a
+                # forbidden-key pattern (the `dependencies` desugar,
+                # src/validate_constraints.c:1556-1646). Subschemas
+                # needing the VALUE at a dynamic key stay on pyeval
+                # (variant paths must be literal).
+                if not isinstance(sub, (Valid, Invalid)):
                     raise _Unsupported(
                         "patternProperties with non-trivial subschema"
                     )
@@ -861,12 +917,12 @@ def _chk_value(node: Node) -> None:
         return _chk_value(node.term)
     if isinstance(node, Switch):
         arms = dict(node.arms)
-        _chk_trivial(arms["null"], "null")
-        _chk_trivial(arms["boolean"], "boolean")
-        _chk_number(arms["number"])
-        _chk_string(arms["string"])
-        _chk_array(arms["array"])
-        _chk_object(arms["object"])
+        _chk_trivial(_arm_project(arms["null"], "null"), "null")
+        _chk_trivial(_arm_project(arms["boolean"], "boolean"), "boolean")
+        _chk_number(_arm_project(arms["number"], "number"))
+        _chk_string(_arm_project(arms["string"], "string"))
+        _chk_array(_arm_project(arms["array"], "array"))
+        _chk_object(_arm_project(arms["object"], "object"))
         return
     raise _Unsupported(f"value-level node {type(node).__name__}")
 
@@ -1098,37 +1154,48 @@ def _explain_object_with_keys(
                 ),
             )
         if isinstance(n, ObjPropSet):
-            pat_gates = [
-                redialect.translate(pat, "java") for pat, _ in n.patterns
+            pats = [
+                (redialect.translate(pat, "java"), sub)
+                for pat, sub in n.patterns
             ]
 
             def per_key(k: Column) -> Column:
-                # unmatched-key default (additional is Valid or Invalid
-                # in the supported subset; patterns are Valid gates)
-                if isinstance(n.additional, Invalid):
-                    default = _vio1(
-                        n.additional.code, F.concat(path, F.lit("."), k)
-                    )
-                    if pat_gates:
-                        patmatch = _F()
-                        for jp in pat_gates:
-                            patmatch = patmatch | k.rlike(jp)
-                        default = F.when(patmatch, _empty_vio()).otherwise(
-                            default
-                        )
-                else:
-                    default = _empty_vio()
-                expr = default
+                # pyeval order per key: named-prop violations, then
+                # each matching pattern's (Invalid patterns are the
+                # `dependencies` desugar's forbidden keys), then the
+                # additional-properties violation for unmatched keys
+                kp = F.concat(path, F.lit("."), k)
+                named = _empty_vio()
                 for name, sub in n.props:
-                    expr = F.when(
+                    named = F.when(
                         k == F.lit(name),
                         _explain_value(
                             sub,
                             val.child(name),
                             F.concat(path, F.lit("." + name)),
                         ),
-                    ).otherwise(expr)
-                return expr
+                    ).otherwise(named)
+                parts = [named]
+                for jp, sub in pats:
+                    if isinstance(sub, Invalid):
+                        parts.append(
+                            F.when(
+                                F.coalesce(k.rlike(jp), _F()),
+                                _vio1(sub.code, kp),
+                            ).otherwise(_empty_vio())
+                        )
+                if isinstance(n.additional, Invalid):
+                    known = _F()
+                    for name, _sub in n.props:
+                        known = known | (k == F.lit(name))
+                    for jp, _sub in pats:
+                        known = known | k.rlike(jp)
+                    parts.append(
+                        F.when(
+                            F.coalesce(known, _F()), _empty_vio()
+                        ).otherwise(_vio1(n.additional.code, kp))
+                    )
+                return parts[0] if len(parts) == 1 else F.concat(*parts)
 
             return F.flatten(F.transform(keys, per_key))
         raise _Unsupported(f"object explain leaf {type(n).__name__}")
@@ -1147,28 +1214,45 @@ def _explain_switch(node: Switch, val: _Value, path: Column) -> Column:
     def body(bound: _Value, typ: Column) -> Column:
         res = _empty_vio()  # unreachable: strict guard rejects non-JSON
         res = F.when(
-            typ == "VOID", _explain_trivial(arms["null"], "null", bound, path)
+            typ == "VOID",
+            _explain_trivial(
+                _arm_project(arms["null"], "null"), "null", bound, path
+            ),
         ).otherwise(res)
         res = F.when(
             typ == "BOOLEAN",
-            _explain_trivial(arms["boolean"], "boolean", bound, path),
+            _explain_trivial(
+                _arm_project(arms["boolean"], "boolean"),
+                "boolean", bound, path,
+            ),
         ).otherwise(res)
         res = F.when(
             _is_num_type(typ),
-            _explain_number(arms["number"], bound.dbl(), path),
+            _explain_number(
+                _arm_project(arms["number"], "number"), bound.dbl(), path
+            ),
         ).otherwise(res)
         res = F.when(
             typ == "STRING",
-            _explain_string(arms["string"], bound.s(), path),
+            _explain_string(
+                _arm_project(arms["string"], "string"), bound.s(), path
+            ),
         ).otherwise(res)
         res = F.when(
             typ.startswith("ARRAY"),
-            _explain_array(arms["array"], bound, path),
+            _explain_array(
+                _arm_project(arms["array"], "array"), bound, path
+            ),
         ).otherwise(res)
         if has_text:
-            obj = _explain_object(arms["object"], bound, path)
+            obj = _explain_object(
+                _arm_project(arms["object"], "object"), bound, path
+            )
         else:
-            obj = _explain_trivial(arms["object"], "object", None, path)
+            obj = _explain_trivial(
+                _arm_project(arms["object"], "object"),
+                "object", None, path,
+            )
         res = F.when(
             typ.startswith("OBJECT") | typ.startswith("STRUCT"), obj
         ).otherwise(res)

@@ -787,6 +787,41 @@ class TestExplainLowering:
                 )
         assert n_checked >= 8, f"only {n_checked} specs lowered"
 
+    def test_dependencies_lower_with_parity(self, spark):
+        """Round-4: BOTH `dependencies` desugars reach the fast path —
+        the property form (forbidden-key pattern = Invalid pattern
+        subschema) and the schema form (value-level Switch nested in
+        the object arm, handled by arm projection), as do merged
+        anyOf/allOf-of-full-schemas."""
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        specs = [
+            {"type": "object",
+             "dependencies": {"credit": ["billing", "name"]}},
+            {"dependencies": {"quux": ["foo", "bar"]}},
+            {"type": "object", "dependencies": {"a": {
+                "required": ["b"],
+                "properties": {"b": {"type": "integer"}}}}},
+            {"dependencies": {"a": {"minProperties": 2}}},
+            {"type": "object", "anyOf": [
+                {"required": ["a"]},
+                {"required": ["b"],
+                 "properties": {"b": {"minimum": 0}}}]},
+            {"type": "object",
+             "patternProperties": {"^tmp_": False},
+             "properties": {"x": {"type": "integer"}},
+             "additionalProperties": False},
+        ]
+        docs = ["{}", '{"credit": 1}', '{"credit": 1, "billing": 2}',
+                '{"credit": 1, "billing": 2, "name": "x"}',
+                '{"a": 1}', '{"a": 1, "b": 2}', '{"a": 1, "b": "s"}',
+                '{"b": -1}', '{"b": 2}', '{"quux": 1, "foo": 2}',
+                '{"foo": 1, "bar": 2}', '{"x": 1}', '{"tmp_y": 1}',
+                '{"x": 1, "tmp_": 2}', '{"zz": 1}', "1", "[]", "null"]
+        for schema in specs:
+            assert try_lower_full(compile_schema(schema)) is not None, schema
+            self._check(spark, schema, docs)
+
     def test_unsupported_spec_still_uses_pyeval(self, spark):
         """Specs outside the variant subset keep the authoritative
         pandas-UDF path (verdicts + violations from the explainer)."""
