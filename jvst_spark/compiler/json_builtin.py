@@ -7,8 +7,9 @@ the per-document verdict lowers to pure Column expressions —
 entirely (round-1 weak item: `val_json_props` ran a row-at-a-time
 pandas UDF for a spec that is all required/integer/range/
 additionalProperties). pyeval remains the general fallback for
-arbitrary schemas (cyclic $ref, composite enums, patternProperties
-subschemas, ...), exactly as the reference keeps its general VM
+arbitrary schemas (cyclic $ref, patternProperties applying value
+checks to dynamic keys, unaddressable key names), exactly as the
+reference keeps its general VM
 (src/validate_vm.c:1136-1592) while constant-folding what it can.
 
 Supported subset (try_lower returns None otherwise — never wrong,
@@ -22,7 +23,10 @@ only absent):
   through the full value lowering — arrays of objects included),
   contains, uniqueItems (canonicalized element text: to_json's sorted
   keys + every number token rewritten through double)
-- scalar EnumMatch at value level
+- EnumMatch at value level: scalars per arm; COMPOSITE literals
+  (objects/arrays) via enum-regime canonical text — both sides of the
+  comparison run the same Spark canon expression, the literal side
+  over parse_json(lit) constant-folds
 - object arms at ANY depth (subtree text via get_json_object feeds
   json_object_keys): ObjRequired, PropRange, ObjPropNames (string
   checks over keys), ObjPropSet with identifier- or bracket-
@@ -383,6 +387,23 @@ def _canon_elem_text(txt: Column) -> Column:
     return F.array_join(norm, "")
 
 
+def _canon_enum_text(txt: Column) -> Column:
+    """Canonical text in the ENUM number regime: like _canon_elem_text
+    but every number token passes through `+ 0.0`, collapsing -0.0
+    into 0 exactly as the reference's NUM_RANGE enum desugar does
+    (src/validate_constraints.c:1140-1154)."""
+    marked = F.regexp_replace(txt, _JSON_STR_OR_NUM, "$1\x01$2\x01")
+    parts = F.split(marked, "\x01", -1)
+    norm = F.transform(
+        parts,
+        lambda p, i: F.when(
+            (i % 2 == 1) & (p != ""),
+            (p.cast("double") + F.lit(0.0)).cast("string"),
+        ).otherwise(p),
+    )
+    return F.array_join(norm, "")
+
+
 def _sub_cond(sub: Node, e: Column, txt: Column) -> Column:
     """One element's verdict under subschema `sub` (null-safe), with
     the element's subtree text already bound to `txt`."""
@@ -526,8 +547,9 @@ def _enum_for_arm(node: EnumMatch, arm: str, col: Column) -> Column:
     import json as _json
 
     vals = [_json.loads(r) for r in node.raw_json]
-    if any(isinstance(v, (list, dict)) for v in vals):
-        raise _Unsupported("composite enum")
+    # composite literals can never match a scalar-armed value; the
+    # value-level lowering compares them via enum-regime canon text
+    vals = [v for v in vals if not isinstance(v, (list, dict))]
     if arm == "number":
         nums = []
         for v in vals:
@@ -619,8 +641,11 @@ def _lower_value(node: Node, val: _Value) -> Column:
         import json as _json
 
         vals = [_json.loads(r) for r in node.raw_json]
-        if any(isinstance(v, (list, dict)) for v in vals):
-            raise _Unsupported("composite enum")
+        comp_raw = [
+            r
+            for r, v in zip(node.raw_json, vals)
+            if isinstance(v, (list, dict))
+        ]
 
         def enum_body(bound: _Value, typ: Column) -> Column:
             cond = _F()
@@ -644,6 +669,25 @@ def _lower_value(node: Node, val: _Value) -> Column:
                 )
             if any(v is None for v in vals):
                 cond = cond | (typ == "VOID")
+            if comp_raw:
+                # composite literals: canonical-text equality in the
+                # enum regime. BOTH sides run through the same Spark
+                # canon expression (the literal side over
+                # parse_json(lit) constant-folds), so the rendering is
+                # engine-consistent by construction.
+                mine = _canon_enum_text(F.to_json(bound.variant()))
+                eqs = _F()
+                for raw in comp_raw:
+                    lit_canon = _canon_enum_text(
+                        F.to_json(F.try_parse_json(F.lit(raw)))
+                    )
+                    eqs = eqs | (mine == lit_canon)
+                is_comp = (
+                    typ.startswith("ARRAY")
+                    | typ.startswith("OBJECT")
+                    | typ.startswith("STRUCT")
+                )
+                cond = cond | (is_comp & eqs)
             return cond
 
         if val.text is not None:
@@ -908,7 +952,7 @@ def _chk_value(node: Node) -> None:
     if isinstance(node, (Valid, Invalid)):
         return
     if isinstance(node, EnumMatch):
-        return _scalar_enum_ok(node)
+        return  # scalars per arm; composites via enum-regime canon text
     if isinstance(node, (And, Or, Xor)):
         for t in node.terms:
             _chk_value(t)

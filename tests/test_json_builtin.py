@@ -103,13 +103,13 @@ class TestFastPathSupported:
         [
             {"$ref": "#/definitions/a",
              "definitions": {"a": {"properties": {"b": {"$ref": "#/definitions/a"}}}}},
-            {"enum": [[1, 2]]},
             # quote/backslash keys have no bracket-path escape syntax
             {"properties": {"we'ird": {"type": "string"}}},
+            # pattern props applying a VALUE check to a dynamic key
+            # need non-literal variant paths — pyeval territory
             {"patternProperties": {"^x": {"type": "integer"}}},
         ],
-        ids=["cyclic-ref", "composite-enum", "unaddressable-key",
-             "pattern-subschema"],
+        ids=["cyclic-ref", "unaddressable-key", "pattern-subschema"],
     )
     def test_unsupported_specs_fall_back(self, schema):
         assert try_lower(compile_schema(schema)) is None
