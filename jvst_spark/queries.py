@@ -532,6 +532,60 @@ def val_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round-4 fast-path widening at the oracle gate: dependencies (the
+# property-form desugar = forbidden-key pattern), composite enum
+# literals (enum-regime canonical text), and patternProperties:false —
+# all pure Column expressions, no Python node.
+_JSON_DEPS_SPEC = {
+    "type": "object",
+    "dependencies": {"credit": ["billing"]},
+    "properties": {"mode": {"enum": [["a", 1], {"kind": "x"}, "plain"]}},
+    "patternProperties": {"^tmp_": False},
+}
+
+_JSON_DEPS_SQL = """
+SELECT event_id AS doc_id,
+       coalesce(
+         NOT (event_id % 3 = 0 AND event_id % 4 = 0)
+         AND event_id % 5 != 3
+         AND event_id % 7 != 0,
+         FALSE) AS valid
+FROM events
+"""
+
+
+@query("val_json_deps", _JSON_DEPS_SQL)
+def val_json_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dependencies + composite enum + forbidden-key patterns over
+    dynamic JSON, entirely on the JVM variant fast path. Injections:
+    credit-without-billing on id%12==0, a non-matching composite enum
+    value on id%5==3, a forbidden tmp_ key on id%7==0."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    credit_j = F.when(eid % 3 == 0, F.lit('"credit": 1, ')).otherwise(
+        F.lit("")
+    )
+    billing_j = F.when(eid % 4 != 0, F.lit('"billing": 2, ')).otherwise(
+        F.lit("")
+    )
+    mode_j = (
+        F.when(eid % 5 == 0, F.lit('"mode": ["a", 1], '))
+        .when(eid % 5 == 1, F.lit('"mode": {"kind": "x"}, '))
+        .when(eid % 5 == 2, F.lit('"mode": "plain", '))
+        .when(eid % 5 == 3, F.lit('"mode": ["a", 2], '))
+        .otherwise(F.lit(""))
+    )
+    tmp_j = F.when(eid % 7 == 0, F.lit('"tmp_x": 0, ')).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("{"), credit_j, billing_j, mode_j, tmp_j, F.lit('"z": 9}')
+    )
+    df = ev.select("event_id", body.alias("body"))
+    plan = ValidationPlan(compile_schema(_JSON_DEPS_SPEC))
+    return plan.apply_json(df, "body", id_col="event_id").verdicts().select(
+        "doc_id", "valid"
+    )
+
+
 # streaming: windowed violation rates from a REAL Structured Streaming
 # run (availableNow trigger over the events table staged as a file
 # stream). Append mode emits exactly the watermark-closed windows
