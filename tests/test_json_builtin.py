@@ -822,6 +822,31 @@ class TestExplainLowering:
             assert try_lower_full(compile_schema(schema)) is not None, schema
             self._check(spark, schema, docs)
 
+    def test_adversarial_depth_and_size_never_crash(self, spark):
+        """One hostile document must yield a verdict, never kill a
+        task: 5000-deep arrays, 2000-deep objects, and MB-scale
+        strings come back INVALID (both engines' parsers enforce depth
+        limits; classification agrees: invalid JSON), and a normal doc
+        in the same batch still validates."""
+        plan = ValidationPlan(compile_schema(
+            {"type": "object", "required": ["k"],
+             "properties": {"k": {"type": "integer"}}}
+        ))
+        docs = [
+            ("arr", "[" * 5000 + "]" * 5000),
+            ("obj", '{"a":' * 2000 + "1" + "}" * 2000),
+            ("big", '{"k": "' + "x" * 1_000_000 + '"}'),
+            ("ok", '{"k": 1}'),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "body"])
+        rows = {
+            r["doc_id"]: (r["valid"], len(r["_violations"]))
+            for r in plan.apply_json(df, "body").frame.collect()
+        }
+        assert rows["ok"] == (True, 0)
+        for k in ("arr", "obj", "big"):
+            assert rows[k][0] is False and rows[k][1] >= 1, (k, rows[k])
+
     def test_unsupported_spec_still_uses_pyeval(self, spark):
         """Specs outside the variant subset keep the authoritative
         pandas-UDF path (verdicts + violations from the explainer)."""
