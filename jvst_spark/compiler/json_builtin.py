@@ -114,13 +114,29 @@ class _Unsupported(Exception):
     pass
 
 
-def _inline_refs(node: Node, defs: dict, stack: tuple = ()) -> Node:
+_INLINE_BUDGET = 10_000
+
+
+def _inline_refs(
+    node: Node, defs: dict, stack: tuple = (), _count: list | None = None
+) -> Node:
     """Expand acyclic $refs into the tree so ref'd specs reach the JVM
     fast path (the reference compiles refs to VM CALL frames,
     src/validate_vm.c:1449-1468 — a columnar plan has no call stack,
-    so inlining is the equivalent; cycles stay on pyeval)."""
+    so inlining is the equivalent; cycles stay on pyeval).
+
+    Bounded: a diamond-shaped ref DAG (each def referencing the
+    previous twice) doubles per level, and downstream lowering walks
+    the TREE — so expansion is capped at _INLINE_BUDGET nodes and
+    anything larger falls back to pyeval, whose memoized closures
+    compile each def once. 'Never wrong, only absent.'"""
     import dataclasses
 
+    if _count is None:
+        _count = [0]
+    _count[0] += 1
+    if _count[0] > _INLINE_BUDGET:
+        raise _Unsupported("ref expansion exceeds budget")
     if len(stack) > 64:
         raise _Unsupported("ref nesting too deep")
     if isinstance(node, Ref):
@@ -128,49 +144,58 @@ def _inline_refs(node: Node, defs: dict, stack: tuple = ()) -> Node:
             raise _Unsupported("cyclic ref")
         if node.uri not in defs:
             raise _Unsupported("unresolved ref")
-        return _inline_refs(defs[node.uri], defs, stack + (node.uri,))
+        return _inline_refs(
+            defs[node.uri], defs, stack + (node.uri,), _count
+        )
     if isinstance(node, (And, Or, Xor)):
         return dataclasses.replace(
             node,
-            terms=tuple(_inline_refs(t, defs, stack) for t in node.terms),
+            terms=tuple(
+                _inline_refs(t, defs, stack, _count) for t in node.terms
+            ),
         )
     if isinstance(node, Not):
         return dataclasses.replace(
-            node, term=_inline_refs(node.term, defs, stack)
+            node, term=_inline_refs(node.term, defs, stack, _count)
         )
     if isinstance(node, Switch):
         return dataclasses.replace(
             node,
             arms=tuple(
-                (t, _inline_refs(a, defs, stack)) for t, a in node.arms
+                (t, _inline_refs(a, defs, stack, _count))
+                for t, a in node.arms
             ),
         )
     if isinstance(node, ObjPropSet):
         return dataclasses.replace(
             node,
             props=tuple(
-                (k, _inline_refs(s, defs, stack)) for k, s in node.props
+                (k, _inline_refs(s, defs, stack, _count))
+                for k, s in node.props
             ),
             patterns=tuple(
-                (p, _inline_refs(s, defs, stack)) for p, s in node.patterns
+                (p, _inline_refs(s, defs, stack, _count))
+                for p, s in node.patterns
             ),
-            additional=_inline_refs(node.additional, defs, stack),
+            additional=_inline_refs(node.additional, defs, stack, _count),
         )
     if isinstance(node, ObjPropNames):
         return dataclasses.replace(
-            node, name_schema=_inline_refs(node.name_schema, defs, stack)
+            node,
+            name_schema=_inline_refs(node.name_schema, defs, stack, _count),
         )
     if isinstance(node, ArrItems):
         return dataclasses.replace(
             node,
             positional=tuple(
-                _inline_refs(p, defs, stack) for p in node.positional
+                _inline_refs(p, defs, stack, _count)
+                for p in node.positional
             ),
-            additional=_inline_refs(node.additional, defs, stack),
+            additional=_inline_refs(node.additional, defs, stack, _count),
         )
     if isinstance(node, ArrContains):
         return dataclasses.replace(
-            node, schema=_inline_refs(node.schema, defs, stack)
+            node, schema=_inline_refs(node.schema, defs, stack, _count)
         )
     return node
 

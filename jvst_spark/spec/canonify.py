@@ -36,37 +36,49 @@ def canonify(node: Node) -> Node:
     return simplify(_order(simplify(node)))
 
 
-def _order(node: Node) -> Node:
+def _order(node: Node, memo: dict | None = None) -> Node:
+    if memo is None:
+        memo = {}
+    hit = memo.get(id(node))
+    if hit is not None:
+        return hit
+    out = _order_impl(node, memo)
+    memo[id(node)] = out
+    return out
+
+
+def _order_impl(node: Node, memo: dict) -> Node:
     if isinstance(node, And):
-        return And(_sorted_terms(node.terms))
+        return And(_sorted_terms(node.terms, memo))
     if isinstance(node, Or):
-        return Or(_sorted_terms(node.terms))
+        return Or(_sorted_terms(node.terms, memo))
     if isinstance(node, Xor):
         # oneOf arms keep user order: XOR is commutative logically but
         # violation attribution reads better in source order; sorting
         # only AND/OR matches the reference's determinism goal.
-        return Xor(tuple(_order(t) for t in node.terms))
+        return Xor(tuple(_order(t, memo) for t in node.terms))
     if isinstance(node, Not):
-        return Not(_order(node.term))
+        return Not(_order(node.term, memo))
     if isinstance(node, Switch):
-        return Switch(tuple((t, _order(n)) for t, n in node.arms))
+        return Switch(tuple((t, _order(n, memo)) for t, n in node.arms))
     if isinstance(node, ObjPropSet):
         return ObjPropSet(
-            tuple(sorted(((k, _order(v)) for k, v in node.props))),
-            tuple(sorted(((p, _order(v)) for p, v in node.patterns))),
-            _order(node.additional),
+            tuple(sorted(((k, _order(v, memo)) for k, v in node.props))),
+            tuple(sorted(((p, _order(v, memo)) for p, v in node.patterns))),
+            _order(node.additional, memo),
         )
     if isinstance(node, ObjPropNames):
-        return ObjPropNames(_order(node.name_schema))
+        return ObjPropNames(_order(node.name_schema, memo))
     if isinstance(node, ArrItems):
         return ArrItems(
-            tuple(_order(p) for p in node.positional), _order(node.additional)
+            tuple(_order(p, memo) for p in node.positional),
+            _order(node.additional, memo)
         )
     if isinstance(node, ArrContains):
-        return ArrContains(_order(node.schema))
+        return ArrContains(_order(node.schema, memo))
     return node
 
 
-def _sorted_terms(terms) -> tuple:
-    ordered = [_order(t) for t in terms]
+def _sorted_terms(terms, memo: dict | None = None) -> tuple:
+    ordered = [_order(t, memo) for t in terms]
     return tuple(sorted(ordered, key=lambda n: n.sort_key()))

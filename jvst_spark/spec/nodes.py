@@ -222,6 +222,13 @@ class ObjPropSet(Node):
     patterns: Tuple[Tuple[str, Node], ...] = ()
     additional: Node = field(default_factory=Valid)
 
+    def children(self):
+        return tuple(
+            [n for _, n in self.props]
+            + [n for _, n in self.patterns]
+            + [self.additional]
+        )
+
 
 @dataclass(frozen=True)
 class ObjPropNames(Node):
@@ -229,6 +236,9 @@ class ObjPropNames(Node):
     OBJ_PROP_NAMES, src/validate_constraints.c:1523-1533)."""
 
     name_schema: Node
+
+    def children(self):
+        return (self.name_schema,)
 
 
 @dataclass(frozen=True)
@@ -268,6 +278,9 @@ class ArrItems(Node):
     positional: Tuple[Node, ...] = ()
     additional: Node = field(default_factory=Valid)
 
+    def children(self):
+        return self.positional + (self.additional,)
+
 
 @dataclass(frozen=True)
 class ArrContains(Node):
@@ -275,6 +288,9 @@ class ArrContains(Node):
     src/validate_constraints.c:1456-1464)."""
 
     schema: Node
+
+    def children(self):
+        return (self.schema,)
 
 
 @dataclass(frozen=True)

@@ -83,26 +83,40 @@ def _enum_subset(enums: List[EnumMatch], canon_set) -> EnumMatch:
 
 def simplify(node: Node) -> Node:
     """Rewrite to fixpoint (the reference simplifies recursively once;
-    we iterate because rule interactions can cascade)."""
+    we iterate because rule interactions can cascade). Each pass is
+    memoized on node IDENTITY: translate's ref inlining shares subtree
+    objects, and an unmemoized walk visits a shared subtree once per
+    path (exponential on diamond-shaped ref graphs)."""
     for _ in range(16):
-        nxt = _simplify1(node)
+        nxt = _simplify1(node, {})
         if nxt == node:
             return nxt
         node = nxt
     return node
 
 
-def _simplify1(node: Node) -> Node:
+def _simplify1(node: Node, memo: dict | None = None) -> Node:
+    if memo is None:
+        memo = {}
+    hit = memo.get(id(node))
+    if hit is not None:
+        return hit
+    out = _simplify1_impl(node, memo)
+    memo[id(node)] = out
+    return out
+
+
+def _simplify1_impl(node: Node, memo: dict) -> Node:
     if isinstance(node, And):
-        return _simplify_and([_simplify1(t) for t in node.terms])
+        return _simplify_and([_simplify1(t, memo) for t in node.terms])
     if isinstance(node, Or):
-        return _simplify_or([_simplify1(t) for t in node.terms])
+        return _simplify_or([_simplify1(t, memo) for t in node.terms])
     if isinstance(node, Xor):
-        return _simplify_xor([_simplify1(t) for t in node.terms])
+        return _simplify_xor([_simplify1(t, memo) for t in node.terms])
     if isinstance(node, Not):
-        return _simplify_not(_simplify1(node.term))
+        return _simplify_not(_simplify1(node.term, memo))
     if isinstance(node, Switch):
-        arms = tuple((t, _simplify1(n)) for t, n in node.arms)
+        arms = tuple((t, _simplify1(n, memo)) for t, n in node.arms)
         if all(isinstance(n, Valid) for _, n in arms):
             return Valid()
         inv = [n for _, n in arms if isinstance(n, Invalid)]

@@ -171,6 +171,13 @@ class _Translator:
         from urllib.parse import urljoin
 
         self.defs: Dict[str, Node] = {}
+        # acyclic ref-target translations, keyed by canonical URI+pointer
+        # — a target referenced N times translates ONCE (a diamond of
+        # shared defs is otherwise re-translated per occurrence:
+        # exponential, measured 90s+ at 20 levels of allOf-of-two-refs).
+        # Only fully-inlined (Ref-free) results cache; anything touching
+        # a cycle keeps the per-site behavior.
+        self._inline_memo: Dict[str, Node] = {}
         root_base = ""
         if isinstance(root_schema, dict):
             sid = root_schema.get("$id") or root_schema.get("id")
@@ -306,6 +313,8 @@ class _Translator:
         if "$ref" in raw:
             uri = raw["$ref"]
             target, tctx, key = self.resolve_raw(uri, ctx)
+            if key in self._inline_memo:
+                return self._inline_memo[key]
             if key in stack:
                 # cycle: keep as a named call; target translated once
                 if key not in self.defs:
@@ -320,6 +329,26 @@ class _Translator:
                 if key not in self.defs:
                     self.defs[key] = node
                 return Ref(key)
+            if _tree_size(node) > _INLINE_SIZE_LIMIT:
+                # large target: keep it a named def instead of inlining.
+                # Nested diamonds (each def referencing the previous
+                # twice) otherwise double the inlined tree per level —
+                # every engine that walks per occurrence (pyeval
+                # compile, typed lowering, the variant fast path) goes
+                # exponential. With the cut, each inline site adds at
+                # most _INLINE_SIZE_LIMIT nodes and big shared schemas
+                # become CALL-style defs, which all four engines bound
+                # (pyeval memoizes; typed unrolls against the finite
+                # DataType; arrow caps ref depth; json_builtin's
+                # inliner has its own budget).
+                if key not in self.defs:
+                    self.defs[key] = node
+                ref = Ref(key)
+                self._inline_memo[key] = ref
+                return ref
+            if not _any_ref(node):
+                # context-free result: reuse for every other $ref site
+                self._inline_memo[key] = node
             return node
 
         terms = []
@@ -604,10 +633,49 @@ def _sublist(raw: dict, kw: str) -> list:
     return v
 
 
-def _contains_ref(node: Node, uri: str) -> bool:
+def _contains_ref(node: Node, uri: str, _seen: set | None = None) -> bool:
+    # id-visited set: memoized inlining shares subtree OBJECTS, and a
+    # naive walk revisits a shared subtree once per path (exponential)
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen:
+        return False
+    _seen.add(id(node))
     if isinstance(node, Ref) and node.uri == uri:
         return True
-    return any(_contains_ref(c, uri) for c in node.children())
+    return any(_contains_ref(c, uri, _seen) for c in node.children())
+
+
+_INLINE_SIZE_LIMIT = 256
+
+
+def _tree_size(node: Node, _memo: dict | None = None) -> int:
+    """Tree size (number of PATHS, counting shared subtrees once per
+    reference via the memo on identity) — saturating at a ceiling so
+    the count itself stays cheap."""
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(node))
+    if hit is not None:
+        return hit
+    total = 1
+    for c in node.children():
+        total += _tree_size(c, _memo)
+        if total > 4 * _INLINE_SIZE_LIMIT:
+            break
+    _memo[id(node)] = total
+    return total
+
+
+def _any_ref(node: Node, _seen: set | None = None) -> bool:
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen:
+        return False
+    _seen.add(id(node))
+    if isinstance(node, Ref):
+        return True
+    return any(_any_ref(c, _seen) for c in node.children())
 
 
 def translate_with_defs(

@@ -346,3 +346,61 @@ class TestCanonify:
         assert got == Switch.of(
             string=And((StrLength(5, 16), StrMatch(".*foo.*")))
         )
+
+
+class TestAdversarialRefGraphs:
+    """Round-4 (review finding): diamond-shaped ref DAGs — each def
+    referencing the previous twice — must compile in bounded time.
+    translate memoizes ref-target translation and keeps LARGE targets
+    as named defs instead of inlining (every engine walks trees per
+    path, so unbounded inlining is exponential); pyeval compiles defs
+    once via memoized closures, and the variant fast path's own
+    inlining budget falls back honestly."""
+
+    def _diamond(self, depth, via):
+        schema = {"definitions": {}, "$ref": f"#/definitions/d{depth-1}"}
+        for i in range(1, depth):
+            prev = f"#/definitions/d{i-1}"
+            if via == "allOf":
+                schema["definitions"][f"d{i}"] = {
+                    "allOf": [{"$ref": prev}, {"$ref": prev}]
+                }
+            else:
+                schema["definitions"][f"d{i}"] = {
+                    "properties": {"l": {"$ref": prev}, "r": {"$ref": prev}}
+                }
+        schema["definitions"]["d0"] = {"type": "integer"}
+        return schema
+
+    @pytest.mark.parametrize("via", ["allOf", "props"])
+    def test_diamond_refs_compile_in_bounded_time(self, via):
+        import time
+
+        from jvst_spark.compiler.plan import compile_schema
+        from jvst_spark.compiler.pyeval import compile_python
+
+        t0 = time.perf_counter()
+        spec = compile_schema(self._diamond(24, via))
+        pyv = compile_python(spec.root, spec.defs)
+        took = time.perf_counter() - t0
+        assert took < 10, f"{via} diamond took {took:.1f}s"
+        # semantics survive the def-cut
+        if via == "allOf":
+            # the conjunction collapses to d0: type integer
+            assert pyv(3) and not pyv("x")
+        else:
+            # a deep all-l chain ends at d0; non-integer leaf invalid
+            doc = cur = {}
+            for _ in range(22):
+                cur["l"] = {}
+                cur = cur["l"]
+            cur["l"] = "not an int"
+            assert not pyv(doc)
+            cur["l"] = 3
+            assert pyv(doc)
+
+    def test_large_ref_targets_become_defs_not_inlined(self):
+        from jvst_spark.compiler.plan import compile_schema
+
+        spec = compile_schema(self._diamond(20, "props"))
+        assert spec.defs, "large shared targets should stay as named defs"
