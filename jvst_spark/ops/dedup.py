@@ -125,43 +125,37 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _ordered_pairs(arr: Column, pair) -> Column:
-    """All i<j element pairs of a (sorted) array, via `pair(x, y)`."""
-    return F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
-                lambda y: pair(x, y),
-            ),
-        )
-    )
-
-
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
 
     Aggregate-then-pair (round-4, replacing a cached self-join): ONE
-    shuffle groups band rows into (band, band_key) -> sorted id list,
-    then pairs explode from each bucket's array. The signature
-    expression evaluates exactly once per doc with no corpus-scale
-    `.cache()` — candidate generation no longer depends on executor
-    storage at 100 TB. Bucket pair fan-out is quadratic in bucket size
-    exactly as the self-join's was (same key, same partition); for
-    near-dup corpora buckets are tiny by construction."""
+    shuffle groups band rows into (band, band_key) -> sorted id list;
+    pairs then STREAM through two chained Generates (posexplode the
+    members, explode each member's tail slice) — no row ever holds
+    more than one bucket's O(k) id array, where the earlier
+    one-row-per-bucket pair array was O(k^2) and a single hot bucket
+    (every empty document in a corpus) could OOM its task. The
+    signature expression evaluates exactly once per doc with no
+    corpus-scale `.cache()`. The a != b guard drops self-pairs that
+    duplicate doc_id rows would otherwise produce (the old join's
+    strict < predicate excluded them)."""
     b = minhash_bands(df, text_col)
     buckets = (
         b.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pairs = _ordered_pairs(
-        F.col("ids"),
-        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        buckets.select(
+            "ids", F.posexplode("ids").alias("i", "doc_a")
+        )
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
 
@@ -401,18 +395,27 @@ def simhash_near_pairs(
         )
         .filter(F.size("members") >= 2)
     )
-    pairs = _ordered_pairs(
-        F.col("members"),
-        lambda x, y: F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            x["simhash"].alias("sig_a"),
-            y["simhash"].alias("sig_b"),
-        ),
-    )
+    # streamed pair expansion (see lsh_candidate_pairs): two chained
+    # Generates keep per-row memory at O(k), and the a != b guard
+    # drops self-pairs from duplicate doc_id rows
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        buckets.select(
+            "members", F.posexplode("members").alias("i", "m")
+        )
+        .select(
+            F.col("m.doc_id").alias("doc_a"),
+            F.col("m.simhash").alias("sig_a"),
+            F.explode(
+                F.slice("members", F.col("i") + 2, F.size("members"))
+            ).alias("n"),
+        )
+        .select(
+            "doc_a",
+            F.col("n.doc_id").alias("doc_b"),
+            "sig_a",
+            F.col("n.simhash").alias("sig_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
     ham = F.size(
