@@ -401,15 +401,7 @@ def _canon_elem_text(txt: Column) -> Column:
     (XXH64-over-bytes hashing, src/validate_uniq.c:43). '-0' (both
     engines drop the sign: int has no -0) and exponent forms
     '-0.0e2' (both keep it: variant stores DOUBLE) agree."""
-    marked = F.regexp_replace(txt, _JSON_STR_OR_NUM, "$1\x01$2\x01")
-    parts = F.split(marked, "\x01", -1)
-    norm = F.transform(
-        parts,
-        lambda p, i: F.when(
-            (i % 2 == 1) & (p != ""), p.cast("double").cast("string")
-        ).otherwise(p),
-    )
-    return F.array_join(norm, "")
+    return _canon_text(txt, enum_regime=False)
 
 
 def _canon_enum_text(txt: Column) -> Column:
@@ -417,13 +409,27 @@ def _canon_enum_text(txt: Column) -> Column:
     but every number token passes through `+ 0.0`, collapsing -0.0
     into 0 exactly as the reference's NUM_RANGE enum desugar does
     (src/validate_constraints.c:1140-1154)."""
+    return _canon_text(txt, enum_regime=True)
+
+
+def _canon_text(txt: Column, enum_regime: bool) -> Column:
+    """ONE tokenizer pipeline behind both canon regimes (a tokenizer
+    fix must never reach one regime and miss the other): mark number
+    tokens with sentinels, split, rewrite odd slots through double
+    (+0.0 in the enum regime), rejoin."""
     marked = F.regexp_replace(txt, _JSON_STR_OR_NUM, "$1\x01$2\x01")
     parts = F.split(marked, "\x01", -1)
+
+    def rewrite(p: Column) -> Column:
+        d = p.cast("double")
+        if enum_regime:
+            d = d + F.lit(0.0)
+        return d.cast("string")
+
     norm = F.transform(
         parts,
         lambda p, i: F.when(
-            (i % 2 == 1) & (p != ""),
-            (p.cast("double") + F.lit(0.0)).cast("string"),
+            (i % 2 == 1) & (p != ""), rewrite(p)
         ).otherwise(p),
     )
     return F.array_join(norm, "")
@@ -1374,10 +1380,7 @@ def try_lower_full(spec) -> Optional[Callable[[Column], Column]]:
     def build(col: Column) -> Column:
         def outer(v: Column) -> Column:
             val = _Value(v, "$", text=col)
-            strict = (
-                F.json_array_length(F.concat(F.lit("["), col, F.lit("]")))
-                == 1
-            ) & (v.cast("string").isNotNull() | F.is_variant_null(v))
+            strict = _strict_guard(col, v)
             valid_e = F.coalesce(strict & _lower_value(root, val), _F())
 
             def inner(ok: Column) -> Column:
@@ -1430,25 +1433,24 @@ def try_lower(spec) -> Optional[Callable[[Column], Column]]:
     return build
 
 
-def _build(root: Node, col: Column, v: Column) -> Column:
-    expr = _lower_value(root, _Value(v, "$", text=col))
-    # STRICT-JSON guard: the JVM JSON functions are lenient about
-    # trailing tokens ('{"k":5}extra') and json_array_length alone
-    # allows single quotes / raw control chars; the conjunction of
-    # "input wrapped in [...] is a 1-element JSON array" with "the
-    # variant parser accepts it" matches json.loads strictness on the
-    # probe battery in test_json_builtin.py — keeping the fast path
-    # verdict-identical to pyeval (and to the reference's strict SJP
-    # parser).
-    # v.cast(string) (variant -> json text) is NULL exactly when the
-    # document contains DUPLICATE OBJECT KEYS at any depth — such
-    # documents are ambiguous (variant_get returns NULL for the dup
-    # path; dict parsers keep last-wins; the reference's streaming VM
-    # validates every occurrence) and the engine rejects them on every
-    # backend (pyeval raises via object_pairs_hook -> INVALID_JSON)
-    strict = (
+def _strict_guard(col: Column, v: Column) -> Column:
+    """STRICT-JSON guard shared by the verdict-only and full builders
+    (one definition so a strictness fix can never diverge them): the
+    JVM JSON functions are lenient about trailing tokens
+    ('{"k":5}extra') and json_array_length alone allows single quotes /
+    raw control chars; the conjunction of "input wrapped in [...] is a
+    1-element JSON array" with "the variant parser accepts it" matches
+    json.loads strictness on the probe battery in test_json_builtin.py.
+    v.cast(string) (variant -> json text) is NULL exactly when the
+    document contains DUPLICATE OBJECT KEYS at any depth — ambiguous
+    documents, rejected on every backend (plan._no_dup_pairs)."""
+    return (
         F.json_array_length(F.concat(F.lit("["), col, F.lit("]"))) == 1
     ) & (v.cast("string").isNotNull() | F.is_variant_null(v))
+
+
+def _build(root: Node, col: Column, v: Column) -> Column:
+    expr = _lower_value(root, _Value(v, "$", text=col))
     # malformed / non-JSON / SQL NULL -> schema_of_variant is NULL ->
     # every typ test is NULL -> coalesce to invalid
-    return F.coalesce(strict & expr, _F())
+    return F.coalesce(_strict_guard(col, v) & expr, _F())

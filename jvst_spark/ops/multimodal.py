@@ -101,7 +101,15 @@ def decode_features(
             feats = []
             for mt, payload in zip(pdf[media_type_col], pdf[payload_col]):
                 fn = table.get(mt, _fake_decode)
-                feats.append(fn(bytes(payload) if payload is not None else b""))
+                # one corrupt payload must yield a null feature row,
+                # never kill the Spark task (the engine's adversarial-
+                # input rule; real codecs raise on malformed bytes)
+                try:
+                    feats.append(
+                        fn(bytes(payload) if payload is not None else b"")
+                    )
+                except Exception:
+                    feats.append(None)
             out = pdf[cols].copy()
             out["features"] = feats
             yield out

@@ -618,6 +618,8 @@ def stream_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously e2e-tested but never DuckDB-replayed). The job runs to
     completion under availableNow and the memory sink's contents are
     returned as the result frame."""
+    import hashlib
+    import os
     import tempfile
 
     from jvst_spark.streaming.validate_stream import violation_rate_windows
@@ -628,7 +630,12 @@ def stream_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         "value",
     )
-    stage = tempfile.mkdtemp(prefix="jvst_stream_vio_")
+    # deterministic staging dir per input (overwritten in place, so
+    # repeated bench/oracle invocations don't accumulate /tmp copies)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"jvst_stream_vio_{tag}"
+    )
     ev.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(ev.schema).parquet(stage)
     plan = ValidationPlan(compile_schema(_STREAM_VIO_SPEC))
@@ -644,7 +651,12 @@ def stream_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a partial sink must be an ERROR, not a silently-short result
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_violation_rates did not finish within 300s"
+        )
     return spark.table("jvst_stream_vio").select(
         "window_start", "n_docs", "n_valid"
     )

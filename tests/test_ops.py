@@ -481,6 +481,31 @@ class TestMultimodal:
         with _pytest.raises(ValueError):
             decode_wav_pcm16(b"RIFFxxxxNOPE")
 
+    def test_corrupt_payload_yields_null_features_not_task_death(self, spark):
+        """Review finding: one malformed payload must produce a null
+        feature row, never kill the task — the real codecs raise on
+        bad bytes, decode_features contains it per payload."""
+        from jvst_spark.ops import multimodal as mm
+
+        rows = [
+            ("good", "image", mm._ppm_bytes(7)),
+            ("trunc", "image", mm._ppm_bytes(7)[:10]),
+            ("not-ppm", "image", b"GIF89a..."),
+            ("empty", "image", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_ref string, media_type string, payload binary"
+        )
+        out = {
+            r["media_ref"]: r["features"]
+            for r in mm.decode_features(
+                df, decoders={"image": mm.decode_ppm}
+            ).collect()
+        }
+        assert out["good"] is not None and out["good"][0] == float(4 + 7 % 5)
+        assert out["not-ppm"] is None and out["empty"] is None
+        assert out["trunc"] is None  # header cut mid-token
+
     def test_real_codecs_via_register_decoder(self, spark):
         """register_decoder routes the real codecs through the batch
         decode path (the deployment hook, not the per-call override)."""
