@@ -847,6 +847,63 @@ class TestExplainLowering:
         for k in ("arr", "obj", "big"):
             assert rows[k][0] is False and rows[k][1] >= 1, (k, rows[k])
 
+    def test_canon_text_equality_relation_matches_canonicalize(self, spark):
+        """The JVM canonical-text EQUALITY RELATION (both regimes) must
+        induce the same equivalence classes as pyeval's canonicalize on
+        a battery of numeric twins, key-order twins, delimiter-spoofing
+        strings, and nested composites — pairwise, not just member-
+        ship. Known exclusion: decimal-form -0.0 loses its sign inside
+        parse_json (unique regime only; documented divergence)."""
+        from jvst_spark.compiler.json_builtin import (
+            _canon_elem_text,
+            _canon_enum_text,
+        )
+        from jvst_spark.spec.nodes import canonicalize
+
+        vals = [
+            [0], [-0.0], [0.0], [1], [1.0], [1e30], [10**30],
+            [10**30 + 1],
+            {"a": 1, "b": 2}, {"b": 2, "a": 1}, {"a": 1}, {"a": 1.0},
+            {"a": True},
+            [[1, 2], [2, 1]], [[1.0, 2.0]], ["x", "y"], ["x,y"],
+            ["s1:x"], {"k": "v=1;"}, {"": 0}, {"a": None}, [None],
+            [], {},
+            ["é"], ["é"],
+            [{"x": [1, {"y": -0.0}]}], [{"x": [1, {"y": 0}]}],
+            [True], [False], ["true"], [1, "1"], ['"q"'], ["a\tb"],
+            [1e-4], [0.0001],
+        ]
+        texts = [json.dumps(v) for v in vals]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["i", "j"]
+        )
+        rows = df.select(
+            "i",
+            _canon_enum_text(F.to_json(F.try_parse_json("j"))).alias("ce"),
+            _canon_elem_text(F.to_json(F.try_parse_json("j"))).alias("cu"),
+        ).collect()
+        jvm_e = {r["i"]: r["ce"] for r in rows}
+        jvm_u = {r["i"]: r["cu"] for r in rows}
+        py_e = {
+            i: canonicalize(v, neg_zero_distinct=False)
+            for i, v in enumerate(vals)
+        }
+        py_u = {
+            i: canonicalize(v, neg_zero_distinct=True)
+            for i, v in enumerate(vals)
+        }
+        n = len(vals)
+        for a in range(n):
+            for b in range(a + 1, n):
+                assert (jvm_e[a] == jvm_e[b]) == (py_e[a] == py_e[b]), (
+                    "enum regime", vals[a], vals[b]
+                )
+                if "-0.0" in texts[a] or "-0.0" in texts[b]:
+                    continue  # parse_json drops decimal -0.0's sign
+                assert (jvm_u[a] == jvm_u[b]) == (py_u[a] == py_u[b]), (
+                    "unique regime", vals[a], vals[b]
+                )
+
     def test_unsupported_spec_still_uses_pyeval(self, spark):
         """Specs outside the variant subset keep the authoritative
         pandas-UDF path (verdicts + violations from the explainer)."""
