@@ -134,9 +134,12 @@ def _inline_refs(
 
     if _count is None:
         _count = [0]
-    _count[0] += 1
-    if _count[0] > _INLINE_BUDGET:
-        raise _Unsupported("ref expansion exceeds budget")
+    if stack:
+        # budget counts only nodes visited INSIDE a ref expansion —
+        # a large-but-ref-free root costs nothing against it
+        _count[0] += 1
+        if _count[0] > _INLINE_BUDGET:
+            raise _Unsupported("ref expansion exceeds budget")
     if len(stack) > 64:
         raise _Unsupported("ref nesting too deep")
     if isinstance(node, Ref):

@@ -630,11 +630,14 @@ def stream_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         "value",
     )
-    # deterministic staging dir per input (overwritten in place, so
-    # repeated bench/oracle invocations don't accumulate /tmp copies)
+    # per-(input, process) staging dir: stable within a process so
+    # repeated bench/oracle invocations overwrite instead of
+    # accumulating /tmp copies, yet isolated across processes (a
+    # concurrent run's overwrite would otherwise delete part-files
+    # under this process's mid-read file-stream source)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     stage = os.path.join(
-        tempfile.gettempdir(), f"jvst_stream_vio_{tag}"
+        tempfile.gettempdir(), f"jvst_stream_vio_{tag}_{os.getpid()}"
     )
     ev.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(ev.schema).parquet(stage)

@@ -150,9 +150,9 @@ def _simplify1_impl(node: Node, memo: dict) -> Node:
     if isinstance(node, EnumMatch) and not node.canon_values:
         return Invalid(E.INVALID_MATCH_CASE)
     if isinstance(node, ObjPropSet):
-        props = tuple((k, _simplify1(v)) for k, v in node.props)
-        pats = tuple((p, _simplify1(v)) for p, v in node.patterns)
-        addl = _simplify1(node.additional)
+        props = tuple((k, _simplify1(v, memo)) for k, v in node.props)
+        pats = tuple((p, _simplify1(v, memo)) for p, v in node.patterns)
+        addl = _simplify1(node.additional, memo)
         # all-valid propset constrains nothing
         if (
             all(isinstance(v, Valid) for _, v in props)
@@ -162,18 +162,18 @@ def _simplify1_impl(node: Node, memo: dict) -> Node:
             return Valid()
         return ObjPropSet(props, pats, addl)
     if isinstance(node, ObjPropNames):
-        inner = _simplify1(node.name_schema)
+        inner = _simplify1(node.name_schema, memo)
         if isinstance(inner, Valid):
             return Valid()
         return ObjPropNames(inner)
     if isinstance(node, ArrItems):
-        pos = tuple(_simplify1(p) for p in node.positional)
-        addl = _simplify1(node.additional)
+        pos = tuple(_simplify1(p, memo) for p in node.positional)
+        addl = _simplify1(node.additional, memo)
         if all(isinstance(p, Valid) for p in pos) and isinstance(addl, Valid):
             return Valid()
         return ArrItems(pos, addl)
     if isinstance(node, ArrContains):
-        inner = _simplify1(node.schema)
+        inner = _simplify1(node.schema, memo)
         if isinstance(inner, Invalid):
             # contains(false): no element can ever satisfy
             return Invalid(E.INVALID_UNSATISFIED_CONTAINS)

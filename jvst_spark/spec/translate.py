@@ -633,15 +633,19 @@ def _sublist(raw: dict, kw: str) -> list:
     return v
 
 
-def _contains_ref(node: Node, uri: str, _seen: set | None = None) -> bool:
-    # id-visited set: memoized inlining shares subtree OBJECTS, and a
-    # naive walk revisits a shared subtree once per path (exponential)
+def _contains_ref(
+    node: Node, uri: str | None, _seen: set | None = None
+) -> bool:
+    """Does `node` contain a Ref to `uri` (any Ref at all when uri is
+    None)? id-visited set: memoized inlining shares subtree OBJECTS,
+    and a naive walk revisits a shared subtree once per path
+    (exponential)."""
     if _seen is None:
         _seen = set()
     if id(node) in _seen:
         return False
     _seen.add(id(node))
-    if isinstance(node, Ref) and node.uri == uri:
+    if isinstance(node, Ref) and (uri is None or node.uri == uri):
         return True
     return any(_contains_ref(c, uri, _seen) for c in node.children())
 
@@ -667,15 +671,8 @@ def _tree_size(node: Node, _memo: dict | None = None) -> int:
     return total
 
 
-def _any_ref(node: Node, _seen: set | None = None) -> bool:
-    if _seen is None:
-        _seen = set()
-    if id(node) in _seen:
-        return False
-    _seen.add(id(node))
-    if isinstance(node, Ref):
-        return True
-    return any(_any_ref(c, _seen) for c in node.children())
+def _any_ref(node: Node) -> bool:
+    return _contains_ref(node, None)
 
 
 def translate_with_defs(
