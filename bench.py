@@ -107,27 +107,29 @@ def run_validation(spark, input_path: str) -> tuple[int, float]:
 
 def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     """Per-query wall time for every driver query at the raw sf —
-    min-of-2 (this host's noise storms would otherwise be recorded as
-    per-query regressions)."""
+    min-of-3 ALTERNATING: three full passes over the query list, min
+    per query across passes. Round-5 protocol hardening (verdict r4):
+    back-to-back min-of-2 put both of a query's runs inside the same
+    host-noise storm, printing 2-5x false regressions into the driver
+    snapshot; with pass-level alternation a storm must span the whole
+    suite three times to corrupt a single query's minimum."""
     import jvst_spark.queries as q
 
-    out = {}
-    for name, fn in q.queries().items():
+    qs = q.queries()
+    for name, fn in qs.items():
         if name.startswith("val_json"):
             # variant-path queries pay a large one-time whole-expression
             # codegen (measured ~20s for the nested spec in round 2);
-            # min-of-2 in a cold session still records it, so warm the
-            # generated code untimed and time only warm executions
+            # warm the generated code untimed, time only warm executions
             fn(spark, sf_dir).count()
-        best = None
-        for _ in range(2):
+    times: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(3):
+        for name, fn in qs.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.collect() if len(df.columns) <= 6 else df.count()
-            sec = time.perf_counter() - t0
-            best = sec if best is None else min(best, sec)
-        out[name] = round(best, 3)
-    return out
+            times[name].append(time.perf_counter() - t0)
+    return {name: round(min(ts), 3) for name, ts in times.items()}
 
 
 def main():

@@ -19,15 +19,26 @@ bigint-hash conversion needed).
 
 from __future__ import annotations
 
+import logging
 from typing import List
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jvst_spark.ops.text import tokens, word_shingles
 
+logger = logging.getLogger(__name__)
+
 N_HASHES = 16
 BAND_SIZE = 4  # -> 4 bands; similarity threshold ~ (1/b)^(1/r) ~ 0.7
+
+# Per-bucket member cap for banding candidate generation. A band bucket
+# of k members emits O(k^2) pairs — quadratic OUTPUT that no streaming
+# can fix — so buckets are truncated to their first `cap` members (by
+# doc_id order) and the overflow is routed to a monitor frame + log.
+# 1024 members still admits ~524k pairs from a single degenerate bucket;
+# anything bigger is a data-quality signal, not a near-dup candidate set.
+MAX_BUCKET_SIZE = 1024
 
 
 def exact_dup_groups(
@@ -57,6 +68,38 @@ def exact_dup_groups(
             F.max("doc_id").alias("max_doc_id"),
         )
     return agg.filter(F.col("dup_count") >= 2)
+
+
+def exact_class_representatives(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Collapse byte-identical duplicate classes to ONE representative
+    row (min doc_id per content hash) — the round-5 skew guard composed
+    in front of LSH/SimHash banding.
+
+    Why this must precede banding: a web-scale corpus routinely carries
+    a degenerate class of millions of byte-identical (or empty)
+    documents (the reference's own per-element hashing in
+    `/root/reference/src/validate_uniq.c:25-51` exists for the same
+    pathology at row scope). Every member of such a class lands in the
+    SAME band bucket, so without collapse one aggregation row holds an
+    O(class) id array and pair expansion emits O(class^2) rows. After
+    collapse the class contributes exactly one banding row; intra-class
+    pairs are exact duplicates and belong to `exact_dup_groups`, not
+    the near-dup report.
+
+    One shuffle on md5(text) — uniform keys, and identical rows combine
+    map-side (partial min/min aggregation), so even the hot class never
+    concentrates pre-shuffle volume on one reducer."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("_ch"), "doc_id", text_col)
+        .groupBy("_ch")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min(text_col).alias(text_col),
+        )
+        .drop("_ch")
+    )
 
 
 def minhash_signature(toks: Column, n_hashes: int = N_HASHES) -> Column:
@@ -125,7 +168,52 @@ def minhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _capped_buckets(
+    rows: DataFrame,
+    key_cols: List[str],
+    member: Column,
+    order_cols: List[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """(key..., ids: array<member>) with AT MOST max_bucket_size members
+    per bucket, members = the first `cap` rows in order_cols order.
+
+    The cap is applied BEFORE the collect_list (row_number window ->
+    filter -> aggregate, all on the same partitioning key, so Catalyst
+    plans a single Exchange): the aggregation buffer itself never holds
+    more than `cap` members. Slicing AFTER collect_list would bound the
+    output but still build the O(class) array inside one task — the
+    exact memory spike the cap exists to prevent. The window sort over
+    a hot key is sort-based and spillable, not an in-memory array."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(member)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+
+
+def _bucket_overflow(
+    rows: DataFrame, key_cols: List[str], max_bucket_size: int
+) -> DataFrame:
+    """(key..., bucket_size) for buckets whose membership exceeds the
+    cap — the monitor route. Count-only aggregation: constant-size
+    buffer regardless of skew, safe to run on a corpus where the
+    capped path would have truncated."""
+    return (
+        rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
 
     Aggregate-then-pair (round-4, replacing a cached self-join): ONE
@@ -138,12 +226,20 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     signature expression evaluates exactly once per doc with no
     corpus-scale `.cache()`. The a != b guard drops self-pairs that
     duplicate doc_id rows would otherwise produce (the old join's
-    strict < predicate excluded them)."""
+    strict < predicate excluded them).
+
+    Round-5 skew guard: each bucket keeps only its first
+    `max_bucket_size` members (doc_id order, enforced BEFORE the
+    aggregation buffer fills — see _capped_buckets), bounding both the
+    per-task array and the quadratic pair output under degenerate
+    duplicate-class skew. Overflowing buckets are visible via
+    `lsh_bucket_overflow`; entry points collapse exact-duplicate
+    classes first (`exact_class_representatives`) so a mass-duplicate
+    class never reaches the bucket in the first place."""
     b = minhash_bands(df, text_col)
-    buckets = (
-        b.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    buckets = _capped_buckets(
+        b, ["band", "band_key"], F.col("doc_id"), ["doc_id"],
+        max_bucket_size,
     )
     return (
         buckets.select(
@@ -157,6 +253,18 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_overflow(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(band, band_key, bucket_size) for LSH buckets over the cap —
+    the log-visible overflow route for `lsh_candidate_pairs`."""
+    return _bucket_overflow(
+        minhash_bands(df, text_col), ["band", "band_key"], max_bucket_size
     )
 
 
@@ -196,18 +304,58 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _warn_overflow(overflow: DataFrame, what: str, cap: int) -> None:
+    """Count-and-log the overflow route (one count-only job; the
+    aggregation buffer is constant-size even under degenerate skew)."""
+    n = overflow.count()
+    if n:
+        worst = overflow.agg(F.max("bucket_size")).collect()[0][0]
+        logger.warning(
+            "%s: %d band bucket(s) exceeded max_bucket_size=%d "
+            "(largest=%d); members beyond the cap were not paired. "
+            "A bucket this hot after exact-duplicate collapse usually "
+            "means templated near-identical content — inspect via the "
+            "*_bucket_overflow monitor frame.",
+            what, n, cap, worst,
+        )
+
+
 def minhash_lsh_dedup(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.7
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    collapse_exact: bool = True,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    log_overflow: bool = False,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+    """Full near-dup pipeline: exact-class collapse -> LSH candidates
+    -> exact Jaccard verify.
+
+    `collapse_exact` (default ON) maps every byte-identical duplicate
+    class to its min-doc_id representative BEFORE banding
+    (`exact_class_representatives`): a mass-duplicate class — the
+    classic web-corpus pathology — contributes ONE banding row instead
+    of a quadratic pair explosion. Reported pairs are therefore over
+    class representatives; intra-class exact pairs are
+    `exact_dup_groups`'s output, not near-dup findings. `log_overflow`
+    runs the count-only overflow monitor and warns through the module
+    logger (an extra job — off by default, on for monitored runs).
 
     The candidate PAIRS are cached — jaccard_pairs references them
     three times (two id projections + the verify join) and re-running
     the banding pipeline per reference would triple the corpus work.
     Unlike the corpus-scale band cache this replaced, the pair list is
     O(duplicates found), bounded and small by construction."""
-    cand = lsh_candidate_pairs(df, text_col).cache()
-    return jaccard_pairs(cand, df, text_col, threshold)
+    corpus = (
+        exact_class_representatives(df, text_col) if collapse_exact else df
+    )
+    cand = lsh_candidate_pairs(corpus, text_col, max_bucket_size).cache()
+    if log_overflow:
+        _warn_overflow(
+            lsh_bucket_overflow(corpus, text_col, max_bucket_size),
+            "minhash_lsh_dedup", max_bucket_size,
+        )
+    return jaccard_pairs(cand, corpus, text_col, threshold)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -348,30 +496,11 @@ def simhash_signatures_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    max_hamming: int = 3,
-    signatures: DataFrame | None = None,
-) -> DataFrame:
-    """Near-dup pairs by SimHash banding: signatures split into 4
-    16-bit chunks; pairs sharing a chunk are candidates (pigeonhole:
-    hamming <= 3 over 4 chunks => one chunk equal); verify hamming.
-
-    `signatures` lets callers supply a precomputed (doc_id, simhash)
-    frame (e.g. simhash_signatures_fast — bit-identical, Arrow-batched).
-
-    Aggregate-then-pair (round-4, replacing a cached self-join): one
-    groupBy((chunk, key)) collects each bucket's (doc_id, simhash)
-    members sorted by id, then i<j pairs explode from the array — the
-    signature subtree evaluates once per doc and nothing pins an
-    exploded corpus into executor storage."""
-    sig = (
-        signatures
-        if signatures is not None
-        else simhash_signatures(df, text_col)
-    )
-    chunks = sig.select(
+def _simhash_chunks(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash, chunk, key): 4 x 16-bit banding rows per
+    signature (pigeonhole: hamming <= 3 over 4 chunks => some chunk
+    equal)."""
+    return sig.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -386,15 +515,74 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
-    buckets = (
-        chunks.groupBy("chunk", "key")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "simhash"))
-            ).alias("members")
-        )
-        .filter(F.size("members") >= 2)
+
+
+def simhash_bucket_overflow(
+    signatures: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """(chunk, key, bucket_size) for SimHash chunk buckets over the cap
+    — the log-visible overflow route for `simhash_near_pairs`."""
+    return _bucket_overflow(
+        _simhash_chunks(signatures), ["chunk", "key"], max_bucket_size
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    signatures: DataFrame | None = None,
+    collapse_exact: bool = True,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    log_overflow: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: signatures split into 4
+    16-bit chunks; pairs sharing a chunk are candidates (pigeonhole:
+    hamming <= 3 over 4 chunks => one chunk equal); verify hamming.
+
+    `signatures` lets callers supply a precomputed (doc_id, simhash)
+    frame (e.g. simhash_signatures_fast — bit-identical, Arrow-batched).
+
+    Aggregate-then-pair (round-4, replacing a cached self-join): one
+    groupBy((chunk, key)) collects each bucket's (doc_id, simhash)
+    members sorted by id, then i<j pairs explode from the array — the
+    signature subtree evaluates once per doc and nothing pins an
+    exploded corpus into executor storage.
+
+    Round-5 skew guard (see minhash_lsh_dedup): `collapse_exact`
+    (default ON) restricts banding to exact-duplicate-class
+    representatives — with a precomputed `signatures` frame the
+    representative set semi-joins in by doc_id, so the signature
+    pipeline still runs once over whatever the caller computed — and
+    each chunk bucket keeps only its first `max_bucket_size` members
+    (enforced before the aggregation buffer fills)."""
+    if collapse_exact:
+        reps = exact_class_representatives(df, text_col)
+        sig = (
+            signatures.join(reps.select("doc_id"), "doc_id")
+            if signatures is not None
+            else simhash_signatures(reps, text_col)
+        )
+    else:
+        sig = (
+            signatures
+            if signatures is not None
+            else simhash_signatures(df, text_col)
+        )
+    chunks = _simhash_chunks(sig)
+    buckets = _capped_buckets(
+        chunks,
+        ["chunk", "key"],
+        F.struct("doc_id", "simhash"),
+        ["doc_id", "simhash"],
+        max_bucket_size,
+    )
+    buckets = buckets.withColumnRenamed("ids", "members")
+    if log_overflow:
+        _warn_overflow(
+            simhash_bucket_overflow(sig, max_bucket_size),
+            "simhash_near_pairs", max_bucket_size,
+        )
     # streamed pair expansion (see lsh_candidate_pairs): two chained
     # Generates keep per-row memory at O(k), and the a != b guard
     # drops self-pairs from duplicate doc_id rows

@@ -969,6 +969,18 @@ FROM documents WHERE doc_id % 31 = 0
 """
 
 
+# near corpus + injected EXACT duplicate classes (ids % 37 re-appear
+# byte-identical at +2,000,000): exercises the round-5 skew guard —
+# the banding near-dup queries collapse exact classes to their min-id
+# representative before bucketing, so the +2,000,000 copies must NOT
+# appear in any near-dup pair (they are dedup_exact's findings)
+_DUP_CORPUS_SQL = f"""
+SELECT doc_id, text FROM ({_NEAR_CORPUS_SQL})
+UNION ALL
+SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 37 = 0
+"""
+
+
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -991,6 +1003,19 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
     )
     return docs.unionAll(copies)
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_near_corpus plus byte-identical copies (ids % 37 at
+    +2,000,000) — mirrors _DUP_CORPUS_SQL."""
+    near = _near_corpus(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return near.unionAll(exact)
 
 
 @query(
@@ -1017,7 +1042,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(n_hashes: int = 16, band_size: int = 4) -> str:
+def _minhash_sql(
+    n_hashes: int = 16, band_size: int = 4, cap: int | None = None
+) -> str:
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> md5('mh{i}|' || s)))"
         for i in range(n_hashes)
@@ -1025,6 +1052,23 @@ def _minhash_sql(n_hashes: int = 16, band_size: int = 4) -> str:
     keys = " || '|' || ".join(
         f"sig[b*{band_size} + {j + 1}]" for j in range(band_size)
     )
+    if cap is None:
+        cand = """
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),"""
+    else:
+        # bucket cap parity: the Spark side keeps only the first `cap`
+        # members of each band bucket in doc_id order (_capped_buckets)
+        cand = f"""
+ranked AS (SELECT doc_id, b, key,
+                  row_number() OVER (PARTITION BY b, key
+                                     ORDER BY doc_id) AS rn
+           FROM bands),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM ranked l JOIN ranked r
+           ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+          AND l.rn <= {cap} AND r.rn <= {cap}),"""
     return f"""
 toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
 shg AS (SELECT doc_id, list_distinct(list_transform(
@@ -1033,10 +1077,7 @@ shg AS (SELECT doc_id, list_distinct(list_transform(
         FROM toks),
 sig AS (SELECT doc_id, [{mins}] AS sig FROM shg),
 bands AS (SELECT doc_id, b, {keys} AS key
-          FROM sig, (SELECT unnest(range(0, {n_hashes // band_size})) AS b)),
-cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         FROM bands l JOIN bands r
-           ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+          FROM sig, (SELECT unnest(range(0, {n_hashes // band_size})) AS b)),{cand}
 pair AS (SELECT doc_a, doc_b, a.sh AS sh_a, b.sh AS sh_b
          FROM cand JOIN shg a ON a.doc_id = doc_a
                    JOIN shg b ON b.doc_id = doc_b)
@@ -1046,8 +1087,10 @@ pair AS (SELECT doc_a, doc_b, a.sh AS sh_a, b.sh AS sh_b
 @query(
     "dedup_minhash_lsh",
     f"""
-WITH corpus AS ({_NEAR_CORPUS_SQL}),
-{_minhash_sql()}
+WITH raw AS ({_DUP_CORPUS_SQL}),
+corpus AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+           FROM raw GROUP BY md5(text)),
+{_minhash_sql(cap=1024)}
 SELECT doc_a, doc_b,
        round(len(list_intersect(sh_a, sh_b))
              / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
@@ -1061,10 +1104,15 @@ WHERE round(len(list_intersect(sh_a, sh_b))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4x4 bands) candidates -> exact Jaccard verify.
     All-pairs never materializes; the only shuffles are on band keys
-    and the (tiny) candidate set."""
+    and the (tiny) candidate set. Round-5 skew guard oracle-exercised:
+    the corpus injects byte-identical duplicate classes (ids % 37 at
+    +2,000,000) which the pipeline collapses to min-id representatives
+    BEFORE banding (the SQL's GROUP BY md5(text) CTE), and each band
+    bucket is capped at 1024 members in doc_id order (the SQL's
+    row_number CTE)."""
     from jvst_spark.ops.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_near_corpus(spark, sf_dir), threshold=0.7)
+    return minhash_lsh_dedup(_dup_corpus(spark, sf_dir), threshold=0.7)
 
 
 @query(
@@ -1132,7 +1180,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash_pairs",
     f"""
-WITH corpus AS ({_NEAR_CORPUS_SQL}),
+WITH raw AS ({_DUP_CORPUS_SQL}),
+corpus AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+           FROM raw GROUP BY md5(text)),
 toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
 tt AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
 h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM tt),
@@ -1149,11 +1199,16 @@ sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
 ch AS (SELECT doc_id, simhash, c AS chunk,
               substr(simhash, c * 16 + 1, 16) AS key
        FROM sig, (SELECT unnest(range(0, 4)) AS c)),
+ranked AS (SELECT doc_id, simhash, chunk, key,
+                  row_number() OVER (PARTITION BY chunk, key
+                                     ORDER BY doc_id, simhash) AS rn
+           FROM ch),
 cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                 l.simhash AS sig_a, r.simhash AS sig_b
-         FROM ch l JOIN ch r
+         FROM ranked l JOIN ranked r
            ON l.chunk = r.chunk AND l.key = r.key
-          AND l.doc_id < r.doc_id)
+          AND l.doc_id < r.doc_id
+          AND l.rn <= 1024 AND r.rn <= 1024)
 SELECT doc_a, doc_b,
        len(list_filter(range(1, 65),
            i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) AS hamming
@@ -1167,13 +1222,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a chunk verified by exact hamming <= 3. Aggregate-then-pair
     (round-4): one chunk-key groupBy collects bucket members, pairs
     explode from the arrays — the signature pipeline evaluates once
-    with no executor-storage dependency."""
+    with no executor-storage dependency. Round-5 skew guard
+    oracle-exercised: byte-identical classes (ids % 37 at +2,000,000)
+    collapse to min-id representatives before banding (the signatures
+    frame, computed over the full corpus, semi-joins to the
+    representative set), and chunk buckets cap at 1024 members."""
     from jvst_spark.ops.dedup import (
         simhash_near_pairs,
         simhash_signatures_fast,
     )
 
-    corpus = _near_corpus(spark, sf_dir)
+    corpus = _dup_corpus(spark, sf_dir)
     return simhash_near_pairs(
         corpus, max_hamming=3, signatures=simhash_signatures_fast(corpus)
     )
