@@ -118,12 +118,24 @@ _INLINE_BUDGET = 10_000
 
 
 def _inline_refs(
-    node: Node, defs: dict, stack: tuple = (), _count: list | None = None
+    node: Node, defs: dict, unroll_depth: int | None = None
 ) -> Node:
     """Expand acyclic $refs into the tree so ref'd specs reach the JVM
     fast path (the reference compiles refs to VM CALL frames,
     src/validate_vm.c:1449-1468 — a columnar plan has no call stack,
-    so inlining is the equivalent; cycles stay on pyeval).
+    so inlining is the equivalent; cycles stay on pyeval unless
+    bounded unrolling is requested).
+
+    `unroll_depth` (round-5): with a depth D, a CYCLIC ref is unrolled
+    D times along any path and the (D+1)-th re-entry is replaced by
+    `Invalid()` — a document whose structure actually reaches the cut
+    is rejected with INVALID_UNEXPECTED_TOKEN there (the §7.3 bounded-
+    unroll plan; typed lowering already bounds recursion by the
+    column's DataType the same way). Documents that never exercise the
+    cut (nesting <= D, or the recursive key absent) validate exactly
+    as pyeval's true recursion would. With unroll_depth None (default)
+    cycles raise _Unsupported and the spec stays on pyeval's memoized
+    closures — the authoritative unbounded semantics.
 
     Bounded: a diamond-shaped ref DAG (each def referencing the
     previous twice) doubles per level, and downstream lowering walks
@@ -132,75 +144,68 @@ def _inline_refs(
     compile each def once. 'Never wrong, only absent.'"""
     import dataclasses
 
-    if _count is None:
-        _count = [0]
-    if stack:
-        # budget counts only nodes visited INSIDE a ref expansion —
-        # a large-but-ref-free root costs nothing against it
-        _count[0] += 1
-        if _count[0] > _INLINE_BUDGET:
-            raise _Unsupported("ref expansion exceeds budget")
-    if len(stack) > 64:
-        raise _Unsupported("ref nesting too deep")
-    if isinstance(node, Ref):
-        if node.uri in stack:
-            raise _Unsupported("cyclic ref")
-        if node.uri not in defs:
-            raise _Unsupported("unresolved ref")
-        return _inline_refs(
-            defs[node.uri], defs, stack + (node.uri,), _count
-        )
-    if isinstance(node, (And, Or, Xor)):
-        return dataclasses.replace(
-            node,
-            terms=tuple(
-                _inline_refs(t, defs, stack, _count) for t in node.terms
-            ),
-        )
-    if isinstance(node, Not):
-        return dataclasses.replace(
-            node, term=_inline_refs(node.term, defs, stack, _count)
-        )
-    if isinstance(node, Switch):
-        return dataclasses.replace(
-            node,
-            arms=tuple(
-                (t, _inline_refs(a, defs, stack, _count))
-                for t, a in node.arms
-            ),
-        )
-    if isinstance(node, ObjPropSet):
-        return dataclasses.replace(
-            node,
-            props=tuple(
-                (k, _inline_refs(s, defs, stack, _count))
-                for k, s in node.props
-            ),
-            patterns=tuple(
-                (p, _inline_refs(s, defs, stack, _count))
-                for p, s in node.patterns
-            ),
-            additional=_inline_refs(node.additional, defs, stack, _count),
-        )
-    if isinstance(node, ObjPropNames):
-        return dataclasses.replace(
-            node,
-            name_schema=_inline_refs(node.name_schema, defs, stack, _count),
-        )
-    if isinstance(node, ArrItems):
-        return dataclasses.replace(
-            node,
-            positional=tuple(
-                _inline_refs(p, defs, stack, _count)
-                for p in node.positional
-            ),
-            additional=_inline_refs(node.additional, defs, stack, _count),
-        )
-    if isinstance(node, ArrContains):
-        return dataclasses.replace(
-            node, schema=_inline_refs(node.schema, defs, stack, _count)
-        )
-    return node
+    count = [0]
+
+    def walk(node: Node, stack: tuple) -> Node:
+        if stack:
+            # budget counts only nodes visited INSIDE a ref expansion —
+            # a large-but-ref-free root costs nothing against it
+            count[0] += 1
+            if count[0] > _INLINE_BUDGET:
+                raise _Unsupported("ref expansion exceeds budget")
+        if len(stack) > max(64, (unroll_depth or 0) * 4):
+            raise _Unsupported("ref nesting too deep")
+        if isinstance(node, Ref):
+            if node.uri in stack:
+                if unroll_depth is None:
+                    raise _Unsupported("cyclic ref")
+                if stack.count(node.uri) >= unroll_depth:
+                    # the cut: structure that re-enters the cycle
+                    # beyond the unroll depth is rejected (Invalid's
+                    # default code is INVALID_UNEXPECTED_TOKEN)
+                    return Invalid()
+            if node.uri not in defs:
+                raise _Unsupported("unresolved ref")
+            return walk(defs[node.uri], stack + (node.uri,))
+        if isinstance(node, (And, Or, Xor)):
+            return dataclasses.replace(
+                node, terms=tuple(walk(t, stack) for t in node.terms)
+            )
+        if isinstance(node, Not):
+            return dataclasses.replace(node, term=walk(node.term, stack))
+        if isinstance(node, Switch):
+            return dataclasses.replace(
+                node,
+                arms=tuple((t, walk(a, stack)) for t, a in node.arms),
+            )
+        if isinstance(node, ObjPropSet):
+            return dataclasses.replace(
+                node,
+                props=tuple((k, walk(s, stack)) for k, s in node.props),
+                patterns=tuple(
+                    (p, walk(s, stack)) for p, s in node.patterns
+                ),
+                additional=walk(node.additional, stack),
+            )
+        if isinstance(node, ObjPropNames):
+            return dataclasses.replace(
+                node, name_schema=walk(node.name_schema, stack)
+            )
+        if isinstance(node, ArrItems):
+            return dataclasses.replace(
+                node,
+                positional=tuple(
+                    walk(p, stack) for p in node.positional
+                ),
+                additional=walk(node.additional, stack),
+            )
+        if isinstance(node, ArrContains):
+            return dataclasses.replace(
+                node, schema=walk(node.schema, stack)
+            )
+        return node
+
+    return walk(node, ())
 
 
 def _T() -> Column:
@@ -1356,13 +1361,17 @@ def _explain_value(node: Node, val: _Value, path: Column) -> Column:
     )
 
 
-def try_lower_full(spec) -> Optional[Callable[[Column], Column]]:
+def try_lower_full(
+    spec, max_ref_depth: int | None = None
+) -> Optional[Callable[[Column], Column]]:
     """CompiledSpec -> (json string Column -> exploded
     struct<valid:boolean, vios:array<struct<code,path,message>>>),
     or None when the spec needs the general pyeval path. Supported
     subset == try_lower's (same structural check), so a spec either
     gets the fully-JVM plan (verdict AND violations, zero Python) or
-    falls back to pyeval for both.
+    falls back to pyeval for both. `max_ref_depth` opts cyclic $ref
+    specs into bounded unrolling (see _inline_refs) — without it they
+    return None and stay on pyeval.
 
     Shape: the parsed variant is let-bound once; `valid` is the strict
     guard + boolean lowering; violations sit in the lazy ELSE of a
@@ -1374,7 +1383,9 @@ def try_lower_full(spec) -> Optional[Callable[[Column], Column]]:
 
     try:
         root = (
-            _inline_refs(spec.root, spec.defs) if spec.defs else spec.root
+            _inline_refs(spec.root, spec.defs, max_ref_depth)
+            if spec.defs
+            else spec.root
         )
         _chk_value(root)
     except _Unsupported:
@@ -1416,15 +1427,20 @@ def try_lower_full(spec) -> Optional[Callable[[Column], Column]]:
     return build
 
 
-def try_lower(spec) -> Optional[Callable[[Column], Column]]:
+def try_lower(
+    spec, max_ref_depth: int | None = None
+) -> Optional[Callable[[Column], Column]]:
     """CompiledSpec -> (json string Column -> boolean verdict Column),
     or None when the spec needs the general pyeval path. The returned
     expression is null-safe: malformed/NULL documents -> False. The
     supportability check is structural, so this is safe to call
-    without an active SparkSession."""
+    without an active SparkSession. `max_ref_depth` opts cyclic $ref
+    specs into bounded unrolling (see _inline_refs)."""
     try:
         root = (
-            _inline_refs(spec.root, spec.defs) if spec.defs else spec.root
+            _inline_refs(spec.root, spec.defs, max_ref_depth)
+            if spec.defs
+            else spec.root
         )
         _chk_value(root)
     except _Unsupported:

@@ -290,14 +290,31 @@ class ValidationPlan:
     # -------------------------------------------- dynamic JSON mode --
 
     def apply_json(
-        self, df: DataFrame, json_col: str, id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        json_col: str,
+        id_col: str = "doc_id",
+        max_ref_depth: Optional[int] = None,
     ) -> "ValidationResult":
         """Validate a column of JSON text documents.
 
         The compiled closure is built once on the driver and shipped in
         the UDF's closure; executors parse + validate per Arrow batch
         (jvst: compile once, jvst_vm_more per document,
-        src/main.c:372-417)."""
+        src/main.c:372-417).
+
+        `max_ref_depth` (round-5): opt a CYCLIC $ref spec into the JVM
+        variant fast path by unrolling each ref cycle to depth D —
+        documents whose structure re-enters the cycle beyond D are
+        rejected with INVALID_UNEXPECTED_TOKEN at the cut (the §7.3
+        bounded-unroll plan; jvst runs recursion natively via VM CALL
+        frames, src/validate_vm.c:1449-1468). D counts ref EXPANSIONS
+        along a path — a k-level linked-list chain with an explicit
+        null terminator exercises its ref k+1 times — so choose D
+        above the data's max expansion count; documents within the
+        bound validate exactly as pyeval's true recursion would
+        (parity pinned in test_json_builtin.py). Default None = cycles
+        stay on the authoritative pyeval closures."""
         import pandas as pd
 
         from jvst_spark.ops._parallel import ensure_min_parallelism
@@ -319,6 +336,7 @@ class ValidationPlan:
             repr(self.spec.root),
             repr(sorted(self.spec.defs.items())),
             json_col,
+            max_ref_depth,
         )
         cached = cache.get(key)
         if cached is not None:
@@ -344,7 +362,7 @@ class ValidationPlan:
         # lazy ELSE for invalid rows.
         from jvst_spark.compiler.json_builtin import try_lower_full
 
-        fast_full = try_lower_full(self.spec)
+        fast_full = try_lower_full(self.spec, max_ref_depth)
         if fast_full is not None:
             packed = fast_full(F.col(json_col))
             cache[key] = ("jvm", packed)

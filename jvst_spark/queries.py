@@ -586,6 +586,80 @@ def val_json_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round-5: a genuinely CYCLIC $ref spec (linked list) validated on the
+# JVM variant fast path via bounded unrolling (apply_json
+# max_ref_depth=9 — the reference runs recursion natively through VM
+# CALL frames, src/validate_vm.c:1449-1468; a columnar plan unrolls
+# and rejects documents whose structure re-enters the cycle beyond
+# the bound with INVALID_UNEXPECTED_TOKEN at the cut). max_ref_depth
+# counts ref EXPANSIONS along a path, and a chain of k object levels
+# terminated by an explicit `"next": null` exercises the ref k+1
+# times (the null is itself validated by the ref'd schema), so depth 9
+# admits chains of up to 8 levels. Documents are deterministic
+# linked-list chains from event_id, so the oracle's validity is
+# closed-form:
+#   depth   = event_id % 9 + 1         (1..9 object levels; 9 > bound)
+#   tail    = {"v": -1}       on id%7==3   (minimum violation)
+#             {"v": 0,"zz":2} on id%11==5  (additionalProperties)
+#             null            otherwise
+#   valid  <=> tail is null AND depth <= 8
+_RECURSIVE_SPEC = {
+    "definitions": {
+        "node": {
+            "anyOf": [
+                {"type": "null"},
+                {
+                    "type": "object",
+                    "required": ["v"],
+                    "properties": {
+                        "v": {"type": "integer", "minimum": 0},
+                        "next": {"$ref": "#/definitions/node"},
+                    },
+                    "additionalProperties": False,
+                },
+            ]
+        }
+    },
+    "$ref": "#/definitions/node",
+}
+
+_JSON_RECURSIVE_SQL = """
+SELECT event_id AS doc_id,
+       coalesce(event_id % 7 != 3 AND event_id % 11 != 5
+                AND event_id % 9 + 1 <= 8,
+         FALSE) AS valid
+FROM events
+"""
+
+
+@query("val_json_recursive", _JSON_RECURSIVE_SQL)
+def val_json_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic-$ref validation (recursive linked-list schema) over
+    dynamic JSON with the cycle unrolled to depth 9 (8 object levels
+    + the terminating null) — pure Column expressions, no Python node
+    (pyeval remains the unbounded differential fixture, pinned in
+    test_json_builtin.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    depth = (eid % 9 + 1).cast("int")
+    link = F.concat(
+        F.lit('{"v": '), eid.cast("string"), F.lit(', "next": ')
+    )
+    tail = (
+        F.when(eid % 7 == 3, F.lit('{"v": -1}'))
+        .when(eid % 11 == 5, F.lit('{"v": 0, "zz": 2}'))
+        .otherwise(F.lit("null"))
+    )
+    doc = F.concat(F.repeat(link, depth), tail, F.repeat(F.lit("}"), depth))
+    df = ev.select("event_id", doc.alias("doc"))
+    plan = ValidationPlan(compile_schema(_RECURSIVE_SPEC))
+    return (
+        plan.apply_json(df, "doc", id_col="event_id", max_ref_depth=9)
+        .verdicts()
+        .select("doc_id", "valid")
+    )
+
+
 # streaming: windowed violation rates from a REAL Structured Streaming
 # run (availableNow trigger over the events table staged as a file
 # stream). Append mode emits exactly the watermark-closed windows

@@ -688,6 +688,94 @@ class TestExplainLowering:
                 '{"a b": 2, "zz": 1}', '{"a  b": 2}']
         self._check(spark, schema, docs)
 
+    def test_cyclic_ref_bounded_unroll_parity_and_cut(self, spark):
+        """Round-5: a CYCLIC $ref spec opts into the variant fast path
+        via max_ref_depth (bounded unrolling, the §7.3 plan). Within
+        the bound, verdicts AND violation rows match pyeval's true
+        recursion exactly; a document whose structure re-enters the
+        cycle beyond the bound is rejected with
+        INVALID_UNEXPECTED_TOKEN at the cut path. Without
+        max_ref_depth the cyclic spec still falls back to pyeval."""
+        from jvst_spark import errors as E
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        schema = {
+            "definitions": {
+                "node": {
+                    "anyOf": [
+                        {"type": "null"},
+                        {
+                            "type": "object",
+                            "required": ["v"],
+                            "properties": {
+                                "v": {"type": "integer", "minimum": 0},
+                                "next": {"$ref": "#/definitions/node"},
+                            },
+                            "additionalProperties": False,
+                        },
+                    ]
+                }
+            },
+            "$ref": "#/definitions/node",
+        }
+        spec = compile_schema(schema)
+        assert try_lower_full(spec) is None  # cycles stay off by default
+        assert try_lower_full(spec, max_ref_depth=6) is not None
+
+        def chain(k, tail="null"):
+            return ('{"v": 1, "next": ' * k) + tail + "}" * k
+
+        # k-level chain + null terminator = k+1 ref expansions; with
+        # D=6 chains of up to 5 levels validate, 6+ hit the cut
+        within = (
+            [chain(k) for k in range(6)]
+            + ['{"v": 5}', '{"v": -2, "next": null}',
+               '{"v": 1, "zz": 2, "next": null}',
+               '{"next": null}', '{"v": "x"}', "[1]", "null", "not json"]
+        )
+        plan = ValidationPlan(spec)
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(within)], ["doc_id", "body"]
+        )
+        res = plan.apply_json(df, "body", max_ref_depth=6)
+        got = {
+            int(r["doc_id"]): (
+                r["valid"],
+                [(v["code"], v["path"]) for v in r["_violations"]],
+            )
+            for r in res.frame.collect()
+        }
+        for i, d in enumerate(within):
+            want = _pyeval_violations(spec, d)
+            assert got[i] == (len(want) == 0, want), (d, got[i], want)
+
+        # no Python node anywhere in the unrolled plan
+        pl = res.frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in pl and "ArrowEvalPython" not in pl
+
+        # the cut: 6-level chain is valid under true recursion (pyeval)
+        # but rejected by the unrolled plan at the cut path
+        deep = spark.createDataFrame(
+            [("c6", chain(6)), ("c9", chain(9))], ["doc_id", "body"]
+        )
+        cut = {
+            r["doc_id"]: (
+                r["valid"],
+                [(v["code"], v["path"]) for v in r["_violations"]],
+            )
+            for r in plan.apply_json(
+                deep, "body", max_ref_depth=6
+            ).frame.collect()
+        }
+        cut_path = "$" + ".next" * 6
+        assert cut["c6"] == (
+            False, [(E.INVALID_UNEXPECTED_TOKEN, cut_path)]
+        )
+        assert cut["c9"] == (
+            False, [(E.INVALID_UNEXPECTED_TOKEN, cut_path)]
+        )
+        assert _pyeval_violations(spec, chain(6)) == []  # pyeval: valid
+
     def test_fuzz_explain_matches_pyeval(self, spark):
         """Seeded fuzz for the VIOLATION lowering: random supported
         specs x random documents — codes, paths, and order must match
