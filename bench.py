@@ -333,7 +333,13 @@ def _serial_probe(input_path, rounds=3):
 
 
 def _write_scaling_report(result):
+    """Write the raw scaling evidence to BENCH/latest_scaling.{json,md}.
+    BENCH/BASELINE.md is hand-curated per round (it accumulates
+    round-over-round context) — round 5 stopped overwriting it from
+    here after round 4's merge-by-hand."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "latest_scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
     pairs = result["scaling"]["pairs"]
     rows = []
     for p in pairs:
@@ -345,7 +351,7 @@ def _write_scaling_report(result):
                 f"| {backend} | {lo} -> {hi} | {b[lo]['docs_per_sec']} "
                 f"| {b[hi]['docs_per_sec']} | **{b['efficiency']}** |"
             )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "latest_scaling.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE.md — throughput + scaling evidence\n\n"
             "Flagship validation job on the identical materialized spans "

@@ -20,8 +20,11 @@ mask)/ArrContains/ItemRange/EnumMatch(scalars, arrays, objects —
 composite values via kernel-space canonical serialization in the enum
 regime)/acyclic Ref/ArrUnique(scalar elements — lexsort dup-scan in
 double bit-pattern space; composite elements — canonical strings +
-per-segment sorted adjacent-dup scan; UEM semantics). Not supported:
-cyclic refs, non-string map keys.
+per-segment sorted adjacent-dup scan; UEM semantics). Non-string
+(integral/boolean) map keys validate as their string rendering via a
+map-to-map key cast (round 5 — parity with the Column path's
+transform_keys normalization; float keys stay excluded, their
+rendering differs across backends). Not supported: cyclic refs.
 
 Dialect note: pc.match_substring_regex is RE2 — no backreferences or
 lookaround (same family as the reference's libfsm DFAs, which also
@@ -204,6 +207,34 @@ class _Compiler:
 
     def compile(self, node: Node, dtype: DataType, probe: bool = False) -> Ev:
         """Build an evaluator; with probe=True only validates support."""
+        # round-5: non-string map keys — a map models a JSON object, so
+        # keys validate as their string rendering (parity with the
+        # Column path's transform_keys cast in typed._stringify_map_keys;
+        # Arrow's map-to-map cast renders int64 1 -> "1", bool -> "true",
+        # same as Spark's CAST). Integral/boolean keys only: float keys
+        # print differently across backends ("1.0" vs "1").
+        if isinstance(dtype, MapType) and not isinstance(
+            dtype.keyType, StringType
+        ):
+            if not isinstance(
+                dtype.keyType,
+                (ByteType, ShortType, IntegerType, LongType, BooleanType),
+            ):
+                raise Unsupported(
+                    f"map key type {dtype.keyType.simpleString()}"
+                )
+            sdt = MapType(
+                StringType(), dtype.valueType, dtype.valueContainsNull
+            )
+            inner = self.compile(node, sdt, probe=probe)
+            if probe:
+                return inner
+
+            def cast_keys(a: pa.Array, inner=inner) -> np.ndarray:
+                target = pa.map_(pa.string(), a.type.item_type)
+                return inner(pc.cast(a, target))
+
+            return cast_keys
         if isinstance(node, Valid):
             return lambda a: np.ones(len(a), dtype=bool)
         if isinstance(node, Invalid):

@@ -6,10 +6,9 @@ the per-document verdict lowers to pure Column expressions —
 `json_object_keys` — keeping the 100 TB verdict path out of Python
 entirely (round-1 weak item: `val_json_props` ran a row-at-a-time
 pandas UDF for a spec that is all required/integer/range/
-additionalProperties). pyeval remains the general fallback for
-arbitrary schemas (cyclic $ref, patternProperties applying value
-checks to dynamic keys, unaddressable key names), exactly as the
-reference keeps its general VM
+additionalProperties). pyeval remains the authoritative fallback —
+after round 5 reachable only for cyclic $ref specs run WITHOUT an
+unroll depth — exactly as the reference keeps its general VM
 (src/validate_vm.c:1136-1592) while constant-folding what it can.
 
 Supported subset (try_lower returns None otherwise — never wrong,
@@ -33,10 +32,16 @@ only absent):
   addressable prop names (`$['a b']` path form), pattern props as
   gates or forbidden-key rules (Valid/Invalid — covers BOTH
   `dependencies` desugars), and boolean additionalProperties
+- round-5, via the map-entry axis (from_json to map<string,variant>,
+  so keys are DATA instead of path text): patternProperties VALUE
+  subschemas at dynamic keys, schema-form additionalProperties, and
+  prop names outside the path grammar (quotes/backslashes/brackets/
+  dots/control chars)
 - value-level Switches nested inside type arms (the schema-form
   `dependencies` / merged anyOf-of-schemas shape) via arm projection
-- acyclic $ref at any position (inlined at lowering time; cycles
-  stay on pyeval)
+- acyclic $ref at any position (inlined at lowering time); CYCLIC
+  refs via opt-in bounded unrolling (max_ref_depth) — without it
+  they stay on pyeval
 - violation ROWS as well as verdicts (try_lower_full) — same subset
 
 Semantic parity contracts with pyeval (tested in
@@ -108,6 +113,14 @@ def _vpath_step(key: str) -> str:
     if _BRACKET_OK.match(key):
         return f"['{key}']"
     raise _Unsupported(f"unaddressable key {key!r}")
+
+
+def _path_addressable(key: str) -> bool:
+    """Can `key` be reached through the JSON-path grammar at all?
+    Quote/backslash/bracket/dot/control keys cannot (no escape syntax
+    inside bracket quotes) — those route through the map-entry axis,
+    where keys are DATA, not path text."""
+    return bool(_IDENT.match(key) or _BRACKET_OK.match(key))
 
 
 class _Unsupported(Exception):
@@ -284,6 +297,32 @@ class _Value:
     def variant(self) -> Column:
         """The raw variant at this path (for let-binding)."""
         return F.try_variant_get(self._v, self._path, "variant")
+
+    def entries(self) -> Column:
+        """The object's entries as array<struct<key,value:variant>> via
+        from_json(text, map<string,variant>) — the round-5 dynamic-key
+        axis. Keys here are DATA rather than path text, so
+        patternProperties VALUE subschemas, schema-form
+        additionalProperties, and keys the path grammar cannot address
+        (quotes/backslashes/brackets/dots) all lower to pure Column
+        expressions. Document key order is preserved (the map parser
+        reads sequentially), matching pyeval's dict iteration; the
+        root strict guard has already rejected duplicate-key documents
+        on every backend."""
+        if self.text is None:
+            raise _Unsupported("object entries unavailable at this path")
+        return F.map_entries(
+            F.from_json(self.text, "map<string, variant>")
+        )
+
+
+def _entry_value(v: Column) -> _Value:
+    """_Value for one map entry's variant. Subtree text is recovered by
+    casting the variant back to JSON text (what _strict_guard already
+    relies on: the cast is to_json rendering — sorted semantics are
+    irrelevant here because text is only consumed for object keys and
+    child extraction, both name-based)."""
+    return _Value(v, "$", text=v.cast("string"))
 
 
 def _arm_project(node: Node, arm: str) -> Node:
@@ -831,6 +870,8 @@ def _lower_object_with_keys(node: Node, val: _Value, keys: Column) -> Column:
                 lambda k: F.coalesce(_string_checks(arm, k), _F()),
             )
         if isinstance(n, ObjPropSet):
+            if _propset_needs_entries(n):
+                return _propset_over_entries(n, val)
             conds = _T()
             for k, sub in n.props:
                 conds = conds & F.when(
@@ -849,10 +890,6 @@ def _lower_object_with_keys(node: Node, val: _Value, keys: Column) -> Column:
                         )
 
                     conds = conds & no_match()
-                elif not isinstance(sub, Valid):
-                    raise _Unsupported(
-                        "patternProperties with non-trivial subschema"
-                    )
                 # every pattern (Valid or Invalid) marks keys as
                 # matched for additionalProperties purposes
                 pat_gates.append(jp)
@@ -868,12 +905,65 @@ def _lower_object_with_keys(node: Node, val: _Value, keys: Column) -> Column:
                     return c
 
                 conds = conds & F.forall(keys, is_known)
-            elif not isinstance(n.additional, Valid):
-                raise _Unsupported("non-boolean additionalProperties")
             return conds
         raise _Unsupported(f"object leaf {type(n).__name__}")
 
     return _boolish(node, leaf)
+
+
+def _propset_needs_entries(n: ObjPropSet) -> bool:
+    """Does this property set need the map-entry axis? Yes when any
+    pattern carries a real VALUE subschema, additionalProperties is
+    schema-form, or a named prop's key is outside the path grammar —
+    the three shapes the path-addressed route cannot express (they
+    were pyeval-only before round 5)."""
+    return (
+        any(
+            not isinstance(s, (Valid, Invalid)) for _, s in n.patterns
+        )
+        or not isinstance(n.additional, (Valid, Invalid))
+        or any(not _path_addressable(k) for k, _ in n.props)
+    )
+
+
+def _propset_over_entries(n: ObjPropSet, val: _Value) -> Column:
+    """ObjPropSet verdict over the map-entry axis: one forall over the
+    object's (key, value) entries; each entry conjoins its named-prop
+    check, every matching pattern's value check, and — when unmatched —
+    the additionalProperties check. Key comparisons are data equality /
+    rlike on the key COLUMN, so dynamic and exotic keys cost nothing
+    special."""
+    pats = [
+        (redialect.translate(pat, "java"), sub) for pat, sub in n.patterns
+    ]
+
+    def ent_check(e: Column) -> Column:
+        k, v = e["key"], e["value"]
+        ev = _entry_value(v)
+        c = _T()
+        named = _F()
+        for name, sub in n.props:
+            hit = k == F.lit(name)
+            named = named | hit
+            c = c & F.when(
+                hit, F.coalesce(_lower_value(sub, ev), _F())
+            ).otherwise(_T())
+        matched = named
+        for jp, sub in pats:
+            hit = F.coalesce(k.rlike(jp), _F())
+            matched = matched | hit
+            c = c & F.when(
+                hit, F.coalesce(_lower_value(sub, ev), _F())
+            ).otherwise(_T())
+        if not isinstance(n.additional, Valid):
+            c = c & F.when(
+                matched, _T()
+            ).otherwise(
+                F.coalesce(_lower_value(n.additional, ev), _F())
+            )
+        return c
+
+    return F.coalesce(F.forall(val.entries(), ent_check), _F())
 
 
 # ---- structural supportability check (no SparkSession needed) ------
@@ -963,22 +1053,16 @@ def _chk_object(node: Node) -> None:
             )
             return _chk_string(arm)
         if isinstance(n, ObjPropSet):
-            for k, sub in n.props:
-                _vpath_step(k)  # raises _Unsupported if unaddressable
+            # round-5: the map-entry axis (ObjPropSet.entries) removed
+            # the path-grammar limits — pattern VALUE subschemas,
+            # schema-form additionalProperties, and exotic key names
+            # all lower; every subschema must itself be lowerable
+            for _k, sub in n.props:
                 _chk_value(sub)
             for pat, sub in n.patterns:
-                # Valid = additional-properties gate; Invalid = a
-                # forbidden-key pattern (the `dependencies` desugar,
-                # src/validate_constraints.c:1556-1646). Subschemas
-                # needing the VALUE at a dynamic key stay on pyeval
-                # (variant paths must be literal).
-                if not isinstance(sub, (Valid, Invalid)):
-                    raise _Unsupported(
-                        "patternProperties with non-trivial subschema"
-                    )
+                _chk_value(sub)
                 redialect.translate(pat, "java")
-            if not isinstance(n.additional, (Valid, Invalid)):
-                raise _Unsupported("non-boolean additionalProperties")
+            _chk_value(n.additional)
             return
         raise _Unsupported(f"object leaf {type(n).__name__}")
 
@@ -1237,6 +1321,8 @@ def _explain_object_with_keys(
                 ),
             )
         if isinstance(n, ObjPropSet):
+            if _propset_needs_entries(n):
+                return _propset_explain_entries(n, val, path)
             pats = [
                 (redialect.translate(pat, "java"), sub)
                 for pat, sub in n.patterns
@@ -1286,6 +1372,61 @@ def _explain_object_with_keys(
     return _explain_combinators(
         node, lambda n: _lower_object_with_keys(n, val, keys), leaf, path
     )
+
+
+def _propset_explain_entries(
+    n: ObjPropSet, val: _Value, path: Column
+) -> Column:
+    """ObjPropSet violation rows over the map-entry axis, mirroring
+    pyeval.compile_explain's per-key emission order exactly: the
+    entries iterate in DOCUMENT order, and each entry concatenates its
+    named-prop violations, then each matching pattern's, then the
+    additional-properties violations for unmatched keys. Violation
+    paths are dynamic Columns (`path . key`), the same dot form pyeval
+    renders for every key shape.
+
+    Order caveat (shared with the array-element route, whose element
+    text is to_json(e)): violations NESTED >= 2 levels below a dynamic
+    key iterate that deeper object's keys in sorted order (the entry
+    value's text is recovered via variant cast, which renders sorted
+    keys), while pyeval iterates document order. Same rows, same codes,
+    same paths — order differs only in that corner; pinned in
+    test_json_builtin."""
+
+    pats = [
+        (redialect.translate(pat, "java"), sub) for pat, sub in n.patterns
+    ]
+
+    def per_entry(e: Column) -> Column:
+        k, v = e["key"], e["value"]
+        ev = _entry_value(v)
+        kp = F.concat(path, F.lit("."), k)
+        named_hit = _F()
+        named = _empty_vio()
+        for name, sub in n.props:
+            named_hit = named_hit | (k == F.lit(name))
+            named = F.when(
+                k == F.lit(name), _explain_value(sub, ev, kp)
+            ).otherwise(named)
+        parts = [named]
+        matched = named_hit
+        for jp, sub in pats:
+            hit = F.coalesce(k.rlike(jp), _F())
+            matched = matched | hit
+            parts.append(
+                F.when(hit, _explain_value(sub, ev, kp)).otherwise(
+                    _empty_vio()
+                )
+            )
+        if not isinstance(n.additional, Valid):
+            parts.append(
+                F.when(matched, _empty_vio()).otherwise(
+                    _explain_value(n.additional, ev, kp)
+                )
+            )
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    return F.flatten(F.transform(val.entries(), per_entry))
 
 
 def _explain_switch(node: Switch, val: _Value, path: Column) -> Column:

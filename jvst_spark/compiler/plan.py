@@ -295,6 +295,7 @@ class ValidationPlan:
         json_col: str,
         id_col: str = "doc_id",
         max_ref_depth: Optional[int] = None,
+        engine: str = "auto",
     ) -> "ValidationResult":
         """Validate a column of JSON text documents.
 
@@ -314,7 +315,22 @@ class ValidationPlan:
         above the data's max expansion count; documents within the
         bound validate exactly as pyeval's true recursion would
         (parity pinned in test_json_builtin.py). Default None = cycles
-        stay on the authoritative pyeval closures."""
+        stay on the authoritative pyeval closures.
+
+        `engine` (round-5) selects the dynamic-JSON route:
+          auto    — JVM variant Columns when the spec lowers, else the
+                    pyeval pandas UDF (the default since round 2).
+          variant — force the JVM route; ValueError if the spec does
+                    not lower (cyclic $ref without max_ref_depth).
+          pyeval  — force the Arrow-batched pandas-UDF route (compiled
+                    Python closures per document).
+        Measured at sf0.1 (BENCH/BASELINE.md round-5 json-engine
+        table, paired min-of-3): pyeval is faster on array-heavy
+        verdict-only specs (up to 2.5x — variant exprs never enter
+        codegen), variant is faster on violation-row outputs (2.3x —
+        pyeval's explainer re-walks per document) and flat property
+        specs, besides needing no Python workers. auto remains the
+        deployment default."""
         import pandas as pd
 
         from jvst_spark.ops._parallel import ensure_min_parallelism
@@ -332,11 +348,16 @@ class ValidationPlan:
         if cache is None:
             cache = {}
             spark._jvst_json_expr_cache = cache
+        if engine not in ("auto", "variant", "pyeval"):
+            raise ValueError(
+                f"engine must be auto|variant|pyeval, got {engine!r}"
+            )
         key = (
             repr(self.spec.root),
             repr(sorted(self.spec.defs.items())),
             json_col,
             max_ref_depth,
+            engine,
         )
         cached = cache.get(key)
         if cached is not None:
@@ -362,7 +383,16 @@ class ValidationPlan:
         # lazy ELSE for invalid rows.
         from jvst_spark.compiler.json_builtin import try_lower_full
 
-        fast_full = try_lower_full(self.spec, max_ref_depth)
+        fast_full = (
+            None
+            if engine == "pyeval"
+            else try_lower_full(self.spec, max_ref_depth)
+        )
+        if engine == "variant" and fast_full is None:
+            raise ValueError(
+                "engine='variant' but the spec does not lower to the "
+                "JVM fast path (cyclic $ref without max_ref_depth)"
+            )
         if fast_full is not None:
             packed = fast_full(F.col(json_col))
             cache[key] = ("jvm", packed)

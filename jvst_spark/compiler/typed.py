@@ -204,6 +204,33 @@ def canon_expr(
     return F.when(col.isNull(), F.lit("z")).otherwise(out)
 
 
+def _stringify_map_keys(col: Column, dtype: DataType):
+    """(col, dtype) with map keys normalized to string — round-5.
+
+    A map<K,V> column models a JSON OBJECT, and JSON object keys are
+    strings: non-string keys validate as their cast-to-string rendering
+    (exactly how to_json would render the object). Integral and boolean
+    key types only — float keys render differently across backends
+    ("1.0" in Spark vs "1" in Arrow) and model no sane object anyway.
+    Before round 5 these columns failed analysis outright
+    (map_contains_key(map<bigint,_>, lit(string)) is a type error)."""
+    if isinstance(dtype, MapType) and not isinstance(
+        dtype.keyType, StringType
+    ):
+        if not isinstance(
+            dtype.keyType,
+            (ByteType, ShortType, IntegerType, LongType, BooleanType),
+        ):
+            raise SchemaError(
+                f"unsupported map key type for validation: {dtype.keyType}"
+            )
+        return (
+            F.transform_keys(col, lambda k, _v: k.cast("string")),
+            MapType(StringType(), dtype.valueType, dtype.valueContainsNull),
+        )
+    return col, dtype
+
+
 class _Lowerer:
     def __init__(self, defs: Optional[dict] = None):
         self.defs = defs or {}
@@ -215,6 +242,7 @@ class _Lowerer:
         """Boolean Column: does `col` (typed `dtype`) satisfy `node`?
         Assumes the enclosing Switch already handled NULL dispatch;
         leaves therefore assume a non-null value of their arm's type."""
+        col, dtype = _stringify_map_keys(col, dtype)
         if isinstance(node, Valid):
             return _T()
         if isinstance(node, Invalid):
@@ -428,16 +456,22 @@ class _Lowerer:
                         _nz(self.lower(sub, vt, F.element_at(col, F.lit(k)))),
                     ).otherwise(_T())
                 )
+            def pat_cond(jpat, sub):
+                # closure factory, NOT lambda defaults: extra defaulted
+                # params make pyspark bind the (element, index) lambda
+                # form and break at build (latent until round-5's
+                # non-string-key tests first exercised this branch)
+                return F.forall(
+                    F.map_entries(col),
+                    lambda e: F.when(
+                        e["key"].rlike(jpat),
+                        _nz(self.lower(sub, vt, e["value"])),
+                    ).otherwise(_T()),
+                )
+
             for pat, sub in node.patterns:
-                jpat = redialect.translate(pat, "java")
                 conds.append(
-                    F.forall(
-                        F.map_entries(col),
-                        lambda e, jpat=jpat, sub=sub: F.when(
-                            e["key"].rlike(jpat),
-                            _nz(self.lower(sub, vt, e["value"])),
-                        ).otherwise(_T()),
-                    )
+                    pat_cond(redialect.translate(pat, "java"), sub)
                 )
             if not isinstance(node.additional, Valid):
                 known = sorted(props.keys())
@@ -626,6 +660,7 @@ def _emit(
     groups: List[Column],
     null_guard: Optional[Column],
 ) -> None:
+    col, dtype = _stringify_map_keys(col, dtype)
     if isinstance(node, Valid):
         return
     if isinstance(node, And):
@@ -788,6 +823,7 @@ def _decompose(
     out: List[Check],
     null_guard: Optional[Column],
 ) -> None:
+    col, dtype = _stringify_map_keys(col, dtype)
     if isinstance(node, Valid):
         return
     if isinstance(node, Invalid):

@@ -219,6 +219,15 @@ def val_spans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# round-5: dynamic-JSON engine knob for the val_json_* queries —
+# "auto" (default: JVM variant Columns when the spec lowers, pyeval
+# otherwise) | "variant" | "pyeval". scripts/json_engine_bench.py flips
+# it to measure the two routes on identical inputs; the oracle gate
+# always runs "auto". val_json_recursive is exempt (its bounded-unroll
+# cut IS the query's contract; pyeval would run true recursion).
+JSON_ENGINE = "auto"
+
 # dynamic-JSON path: validate the events.props JSON column with the
 # compiled-Python pandas-UDF backend (the per-document analogue of one
 # reference VM run); the oracle re-expresses the spec in DuckDB's JSON
@@ -252,7 +261,9 @@ def val_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "props"
     )
     plan = ValidationPlan(compile_schema(_PROPS_SPEC))
-    return plan.apply_json(ev, "props", id_col="event_id").verdicts().select(
+    return plan.apply_json(
+        ev, "props", id_col="event_id", engine=JSON_ENGINE
+    ).verdicts().select(
         "doc_id", "valid"
     )
 
@@ -321,7 +332,9 @@ def val_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = ev.select("event_id", doc.alias("body"))
     plan = ValidationPlan(compile_schema(_NESTED_SPEC))
-    return plan.apply_json(df, "body", id_col="event_id").verdicts().select(
+    return plan.apply_json(
+        df, "body", id_col="event_id", engine=JSON_ENGINE
+    ).verdicts().select(
         "doc_id", "valid"
     )
 
@@ -397,7 +410,9 @@ def val_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.to_json(F.struct(tags.alias("tags"))).alias("body")
     )
     plan = ValidationPlan(compile_schema(_ARRAY_SPEC))
-    return plan.apply_json(df, "body", id_col="event_id").verdicts().select(
+    return plan.apply_json(
+        df, "body", id_col="event_id", engine=JSON_ENGINE
+    ).verdicts().select(
         "doc_id", "valid"
     )
 
@@ -526,7 +541,7 @@ def val_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ev.select("event_id", body.alias("body"))
     plan = ValidationPlan(compile_schema(_JSON_VIO_SPEC))
     return (
-        plan.apply_json(df, "body", id_col="event_id")
+        plan.apply_json(df, "body", id_col="event_id", engine=JSON_ENGINE)
         .violations()
         .select("doc_id", "code", "path", "message")
     )
@@ -581,7 +596,9 @@ def val_json_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = ev.select("event_id", body.alias("body"))
     plan = ValidationPlan(compile_schema(_JSON_DEPS_SPEC))
-    return plan.apply_json(df, "body", id_col="event_id").verdicts().select(
+    return plan.apply_json(
+        df, "body", id_col="event_id", engine=JSON_ENGINE
+    ).verdicts().select(
         "doc_id", "valid"
     )
 
@@ -657,6 +674,74 @@ def val_json_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan.apply_json(df, "doc", id_col="event_id", max_ref_depth=9)
         .verdicts()
         .select("doc_id", "valid")
+    )
+
+
+# round-5: dynamic-key VALUE checks on the JVM fast path via the
+# map-entry axis (from_json to map<string,variant> turns keys into
+# data) — patternProperties value subschemas, schema-form
+# additionalProperties, and a quote-bearing key no path grammar can
+# address. Documents are deterministic from event_id, so the oracle's
+# validity is closed-form:
+#   m_score (id%3==0):  value = id%150, violates maximum 100 when >100
+#   q"uote  (id%5==0 valid string; id%5==1 integer -> type violation)
+#   note    (id%4==0):  additionalProperties {type string, maxLength 8};
+#                       id%11==0 injects an 11-char value
+_DYNPROPS_SPEC = {
+    "type": "object",
+    "required": ["id"],
+    "properties": {
+        "id": {"type": "integer"},
+        'q"uote': {"type": "string"},
+    },
+    "patternProperties": {
+        "^m_": {"type": "number", "minimum": 0, "maximum": 100}
+    },
+    "additionalProperties": {"type": "string", "maxLength": 8},
+}
+
+_JSON_DYNPROPS_SQL = """
+SELECT event_id AS doc_id,
+       coalesce(NOT (event_id % 3 = 0 AND event_id % 150 > 100)
+                AND event_id % 5 != 1
+                AND NOT (event_id % 4 = 0 AND event_id % 11 = 0),
+         FALSE) AS valid
+FROM events
+"""
+
+
+@query("val_json_dynprops", _JSON_DYNPROPS_SQL)
+def val_json_dynprops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patternProperties value subschemas + schema-form
+    additionalProperties + an unaddressable (quote) key over dynamic
+    JSON — entirely on the JVM variant fast path via the map-entry
+    axis, zero Python in the plan (pyeval-only through round 4)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    m_j = F.when(
+        eid % 3 == 0,
+        F.concat(F.lit(', "m_score": '), (eid % 150).cast("string")),
+    ).otherwise(F.lit(""))
+    q_j = (
+        F.when(eid % 5 == 0, F.lit(', "q\\"uote": "s"'))
+        .when(eid % 5 == 1, F.lit(', "q\\"uote": 7'))
+        .otherwise(F.lit(""))
+    )
+    note_j = F.when(
+        eid % 4 == 0,
+        F.when(eid % 11 == 0, F.lit(', "note": "elevenchars"')).otherwise(
+            F.lit(', "note": "ok"')
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('{"id": '), eid.cast("string"), m_j, q_j, note_j, F.lit("}")
+    )
+    df = ev.select("event_id", body.alias("body"))
+    plan = ValidationPlan(compile_schema(_DYNPROPS_SPEC))
+    return plan.apply_json(
+        df, "body", id_col="event_id", engine=JSON_ENGINE
+    ).verdicts().select(
+        "doc_id", "valid"
     )
 
 
@@ -737,6 +822,75 @@ def stream_violation_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("jvst_stream_vio").select(
         "window_start", "n_docs", "n_valid"
     )
+
+
+# round-5: the stateful streaming dedup at the oracle gate (it was
+# e2e-tested but never DuckDB-replayed). A REAL applyInPandasWithState
+# query runs under availableNow with maxFilesPerTrigger=1, so state
+# genuinely carries across micro-batches; duplicates are injected
+# deterministically (ids % 17 arrive twice, ids % 51 three times). The
+# emitted set is batch-order-INDEPENDENT by construction — a doc_id
+# with k total occurrences emits exactly the rows (doc_id, n_seen) for
+# n_seen in 2..k whatever the arrival interleaving — which is what
+# makes an order-insensitive oracle replay exact.
+_STREAM_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id FROM events
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR) FROM events WHERE event_id % 17 = 0
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR) FROM events WHERE event_id % 51 = 0
+), occ AS (SELECT doc_id, count(*) AS k FROM corpus GROUP BY doc_id)
+SELECT doc_id, unnest(range(2, k + 1)) AS n_seen
+FROM occ WHERE k >= 2
+"""
+
+
+@query("stream_dedup_duplicates", _STREAM_DEDUP_SQL)
+def stream_dedup_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins streaming dedup: re-arrivals of a doc_id in any
+    later micro-batch (or the same one) emit to the duplicates stream
+    with their occurrence number. applyInPandasWithState holds the
+    per-group seen set across batches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from jvst_spark.streaming.stateful_dedup import streaming_duplicates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("string").alias("doc_id")
+    )
+    corpus = ev.unionAll(
+        ev.filter(F.col("doc_id").cast("bigint") % 17 == 0)
+    ).unionAll(ev.filter(F.col("doc_id").cast("bigint") % 51 == 0))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"jvst_stream_dedup_{tag}_{os.getpid()}"
+    )
+    # several part-files + maxFilesPerTrigger=1 => several micro-batches
+    corpus.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    dups = streaming_duplicates(stream, n_groups=8)
+    for q in spark.streams.active:
+        if q.name == "jvst_stream_dedup":
+            q.stop()
+    q = (
+        dups.writeStream.format("memory")
+        .queryName("jvst_stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup_duplicates did not finish within 300s"
+        )
+    return spark.table("jvst_stream_dedup").select("doc_id", "n_seen")
 
 
 # ---------------------------------------------------------------------

@@ -123,12 +123,18 @@ class TestArrowKernelsDirect:
     def test_unsupported_fallback_reported(self, spark):
         from pyspark.sql.types import _parse_datatype_string
 
-        # non-string map keys stay on the Column/pyeval paths (JSON
-        # object keys are strings; any other key type is not an object)
+        # round-5: integral/boolean map keys now validate as their
+        # string rendering; FLOAT keys remain the honest exclusion
+        # (their rendering differs between Spark and Arrow casts)
         spec = compile_schema({"type": "object", "minProperties": 1})
-        assert not supports(
+        assert supports(
             spec.root,
             _parse_datatype_string("map<bigint,string>"),
+            spec.defs,
+        )
+        assert not supports(
+            spec.root,
+            _parse_datatype_string("map<double,string>"),
             spec.defs,
         )
 
@@ -299,6 +305,104 @@ class TestArrowMapColumns:
         }
         assert av == cv and len(av) == 200
         assert True in av.values() and False in av.values()
+
+
+class TestArrowNonStringMapKeys:
+    """Round-5: non-string (integral/boolean) map keys validate as
+    their string rendering — the JSON-object model (to_json renders
+    object keys as strings) — with Arrow/Column/pyeval agreement.
+    Float keys stay excluded on both backends (rendering differs)."""
+
+    def _expect(self, spec, rows):
+        pyv = compile_python(spec.root, spec.defs)
+        return [
+            pyv(
+                {
+                    (str(k).lower() if isinstance(k, bool) else str(k)): v
+                    for k, v in r.items()
+                }
+            )
+            for r in rows
+        ]
+
+    def _column_path(self, spark, spec, dt, rows):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            IntegerType, StructField, StructType as ST,
+        )
+
+        from jvst_spark.compiler.typed import lower_typed
+
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)],
+            ST([StructField("i", IntegerType()), StructField("m", dt)]),
+        )
+        got = df.select(
+            "i",
+            F.coalesce(
+                lower_typed(spec.root, dt, F.col("m"), spec.defs),
+                F.lit(False),
+            ).alias("v"),
+        ).collect()
+        return [r["v"] for r in sorted(got, key=lambda r: r["i"])]
+
+    def test_int_keys_all_three_backends_agree(self, spark):
+        from pyspark.sql.types import LongType, MapType
+
+        schema = {
+            "type": "object",
+            "required": ["1"],
+            "properties": {"1": {"type": "integer", "minimum": 0}},
+            "patternProperties": {"^2$": {"type": "integer", "maximum": 5}},
+            "maxProperties": 2,
+        }
+        spec = compile_schema(schema)
+        dt = MapType(LongType(), LongType(), True)
+        assert supports(spec.root, dt, spec.defs)
+        rows = [{1: 5}, {1: -2}, {2: 0}, {1: 0, 2: 9}, {1: 0, 2: 2},
+                {1: 1, 2: 2, 3: 3}, {}]
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(
+            [list(r.items()) for r in rows],
+            type=pa.map_(pa.int64(), pa.int64()),
+        )
+        expect = self._expect(spec, rows)
+        assert [bool(v) for v in ev(arr)] == expect
+        assert self._column_path(spark, spec, dt, rows) == expect
+
+    def test_bool_keys_all_three_backends_agree(self, spark):
+        from pyspark.sql.types import BooleanType, LongType, MapType
+
+        schema = {
+            "type": "object",
+            "required": ["true"],
+            "properties": {"true": {"type": "integer", "minimum": 0}},
+            "additionalProperties": False,
+        }
+        spec = compile_schema(schema)
+        dt = MapType(BooleanType(), LongType(), True)
+        assert supports(spec.root, dt, spec.defs)
+        rows = [{True: 3}, {True: -1}, {False: 3}, {True: 1, False: 2}, {}]
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(
+            [list(r.items()) for r in rows],
+            type=pa.map_(pa.bool_(), pa.int64()),
+        )
+        expect = self._expect(spec, rows)
+        assert [bool(v) for v in ev(arr)] == expect
+        assert self._column_path(spark, spec, dt, rows) == expect
+
+    def test_float_keys_stay_excluded_on_both_backends(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import DoubleType, LongType, MapType
+
+        from jvst_spark.compiler.typed import SchemaError, lower_typed
+
+        spec = compile_schema({"type": "object", "required": ["1.5"]})
+        dt = MapType(DoubleType(), LongType(), True)
+        assert not supports(spec.root, dt, spec.defs)
+        with pytest.raises(SchemaError, match="map key"):
+            lower_typed(spec.root, dt, F.lit(None).cast(dt), spec.defs)
 
 
 class TestArrowConformanceCorpus:

@@ -101,18 +101,28 @@ class TestFastPathSupported:
     @pytest.mark.parametrize(
         "schema",
         [
+            # cyclic without an unroll depth stays on pyeval
             {"$ref": "#/definitions/a",
              "definitions": {"a": {"properties": {"b": {"$ref": "#/definitions/a"}}}}},
-            # quote/backslash keys have no bracket-path escape syntax
-            {"properties": {"we'ird": {"type": "string"}}},
-            # pattern props applying a VALUE check to a dynamic key
-            # need non-literal variant paths — pyeval territory
-            {"patternProperties": {"^x": {"type": "integer"}}},
         ],
-        ids=["cyclic-ref", "unaddressable-key", "pattern-subschema"],
+        ids=["cyclic-ref"],
     )
     def test_unsupported_specs_fall_back(self, schema):
         assert try_lower(compile_schema(schema)) is None
+
+    @pytest.mark.parametrize(
+        "schema",
+        [
+            # round-5: the map-entry axis removed the path-grammar
+            # limits — these were pyeval-only through round 4
+            {"properties": {"we'ird": {"type": "string"}}},
+            {"patternProperties": {"^x": {"type": "integer"}}},
+            {"additionalProperties": {"type": "string"}},
+        ],
+        ids=["unaddressable-key", "pattern-subschema", "schema-additional"],
+    )
+    def test_dynamic_key_specs_now_lower(self, schema):
+        assert try_lower(compile_schema(schema)) is not None
 
     @pytest.mark.parametrize(
         "schema",
@@ -203,6 +213,39 @@ class TestFastPathParity:
                     mismatches.append((cid, expected, got[cid]))
         assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
         assert not mismatches, mismatches[:10]
+
+    def test_conformance_pattern_properties_suite_fully_lowers(self, spark):
+        """Round-5 coverage pin: EVERY schema in the patternProperties
+        and additionalProperties conformance suites lowers to the JVM
+        fast path (the map-entry axis) and reproduces the expected
+        verdicts — these suites carried the dynamic-key value checks
+        that were pyeval-only through round 4."""
+        targets = {}
+        for suite, schema, desc, doc, expected in CONFORMANCE_CASES:
+            if "patternProperties" in suite or "additionalProperties" in suite:
+                key = json.dumps(schema, sort_keys=True)
+                targets.setdefault(key, (schema, []))[1].append(
+                    (f"{suite}::{desc}", json.dumps(doc), expected)
+                )
+        assert targets, "conformance corpus is missing the suites"
+        bad = []
+        for key, (schema, cases) in targets.items():
+            spec = compile_schema(schema)
+            fast = try_lower(spec)
+            assert fast is not None, f"did not lower: {schema}"
+            df = spark.createDataFrame(
+                [(cid, txt) for cid, txt, _ in cases], ["doc_id", "body"]
+            )
+            got = {
+                r["doc_id"]: r["v"]
+                for r in df.select(
+                    "doc_id", fast(F.col("body")).alias("v")
+                ).collect()
+            }
+            for cid, txt, expected in cases:
+                if got[cid] != expected:
+                    bad.append((cid, expected, got[cid]))
+        assert not bad, bad[:10]
 
     def test_combinators_over_array_leaves_match_pyeval(self, spark):
         """Boolean combinators wrapping array leaves at the SAME array
@@ -462,6 +505,47 @@ class TestFastPathParity:
         vio = plan.apply_json(df, "body").violations().collect()
         assert {r["doc_id"] for r in vio} == {"a"}
 
+    def test_json_engine_switch(self, spark):
+        """Round-5: apply_json's engine switch. 'variant' = zero Python
+        in the plan; 'pyeval' = the Arrow-batched pandas-UDF route;
+        identical (valid, violations) either way; 'variant' on a spec
+        that cannot lower raises instead of silently falling back."""
+        import pytest as _pytest
+
+        plan = ValidationPlan(compile_schema(PROPS_SPEC))
+        docs = ['{"k": -1}', '{"k": 3}', '{"k": "x"}', "{}", "[1]",
+                "not json", '{"k": 3, "z": 1}']
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(docs)], ["doc_id", "body"]
+        )
+
+        def snap(res):
+            return {
+                r["doc_id"]: (
+                    r["valid"],
+                    [(v["code"], v["path"]) for v in r["_violations"]],
+                )
+                for r in res.frame.collect()
+            }
+
+        jvm = plan.apply_json(df, "body", engine="variant")
+        py = plan.apply_json(df, "body", engine="pyeval")
+        assert snap(jvm) == snap(py)
+        jvm_plan = jvm.frame._jdf.queryExecution().executedPlan().toString()
+        py_plan = py.frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in jvm_plan
+        assert "EvalPython" in py_plan
+
+        cyclic = compile_schema(
+            {"$ref": "#/definitions/a",
+             "definitions": {"a": {"properties": {
+                 "b": {"$ref": "#/definitions/a"}}}}}
+        )
+        with _pytest.raises(ValueError, match="variant"):
+            ValidationPlan(cyclic).apply_json(df, "body", engine="variant")
+        with _pytest.raises(ValueError, match="engine"):
+            plan.apply_json(df, "body", engine="bogus")
+
 
 def _pyeval_violations(spec, txt):
     """Reference behavior of the dynamic path on one document: the
@@ -666,7 +750,9 @@ class TestExplainLowering:
 
     def test_bracket_addressable_keys_lower_with_parity(self, spark):
         """Round-4: non-identifier prop names reach the fast path via
-        the `$['key']` bracket path form."""
+        the `$['key']` bracket path form. Round-5: keys OUTSIDE the
+        path grammar entirely ('.' would be ambiguous against the
+        dotted form) now ALSO lower, via the map-entry axis."""
         schema = {
             "type": "object",
             "required": ["a b"],
@@ -679,14 +765,59 @@ class TestExplainLowering:
         }
         from jvst_spark.compiler.json_builtin import try_lower_full
 
-        # '.' inside a key would be ambiguous against the dotted form
-        assert try_lower_full(compile_schema(schema)) is None
-        del schema["properties"]["x.y"]
         assert try_lower_full(compile_schema(schema)) is not None
         docs = ["{}", '{"a b": 1}', '{"a b": 1.5}',
                 '{"a b": 2, "c-d": -1}', '{"a b": 2, "c-d": 3}',
-                '{"a b": 2, "zz": 1}', '{"a  b": 2}']
+                '{"a b": 2, "zz": 1}', '{"a  b": 2}',
+                '{"a b": 1, "x.y": "s"}', '{"a b": 1, "x.y": 5}']
         self._check(spark, schema, docs)
+
+    def test_dynamic_key_value_checks_explain_parity(self, spark):
+        """Round-5 map-entry axis: patternProperties VALUE subschemas,
+        schema-form additionalProperties, exotic keys, and nested
+        dynamic objects — verdicts AND violation rows (codes, paths,
+        order) match pyeval on every document. Nested multi-violation
+        ORDER below a dynamic key is exercised only with single
+        violations per nested object (the documented sorted-key order
+        caveat, shared with the array-element route)."""
+        specs = [
+            {"type": "object",
+             "patternProperties": {
+                 "^n_": {"type": "integer", "minimum": 0},
+                 "^s_": {"type": "string", "minLength": 2}},
+             "additionalProperties": False},
+            {"type": "object",
+             "properties": {"id": {"type": "integer"}},
+             "additionalProperties": {"type": "string"}},
+            {"type": "object",
+             "required": ['he"llo'],
+             "properties": {'he"llo': {"type": "integer"},
+                            "back\\slash": {"minimum": 3}},
+             "additionalProperties": False},
+            {"type": "object",
+             "patternProperties": {
+                 "^obj": {"type": "object",
+                          "required": ["a"],
+                          "properties": {"a": {"type": "integer"}},
+                          "additionalProperties": False}}},
+        ]
+        docs = [
+            "{}", '{"n_1": 5}', '{"n_1": -2}', '{"n_1": 1.5}',
+            '{"s_a": "xy"}', '{"s_a": "x"}', '{"s_a": 3}', '{"other": 1}',
+            '{"n_1": 2, "s_b": "ok"}', '{"n_1": -1, "s_b": 9}',
+            '{"id": 4}', '{"id": "x"}', '{"id": 4, "note": "hi"}',
+            '{"id": 4, "note": 7}',
+            '{"he\\"llo": 3}', '{"he\\"llo": "x"}', '{"back\\\\slash": 5}',
+            '{"back\\\\slash": 1}', '{"zz": 0}',
+            '{"obj1": {"a": 1}}', '{"obj1": {"a": "x"}}',
+            '{"obj1": {"b": 1}}', '{"obj1": {"a": 1, "c": 2}}',
+            '{"obj1": 5}', "[3]", "null", "5", "not json",
+        ]
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        for schema in specs:
+            assert try_lower_full(compile_schema(schema)) is not None
+            self._check(spark, schema, docs)
 
     def test_cyclic_ref_bounded_unroll_parity_and_cut(self, spark):
         """Round-5: a CYCLIC $ref spec opts into the variant fast path
@@ -994,8 +1125,16 @@ class TestExplainLowering:
 
     def test_unsupported_spec_still_uses_pyeval(self, spark):
         """Specs outside the variant subset keep the authoritative
-        pandas-UDF path (verdicts + violations from the explainer)."""
-        schema = {"patternProperties": {"^x": {"type": "integer"}}}
+        pandas-UDF path (verdicts + violations from the explainer).
+        After round 5 the only remaining unsupported shape is a cyclic
+        $ref without an unroll depth."""
+        schema = {
+            "$ref": "#/definitions/n",
+            "definitions": {"n": {
+                "patternProperties": {"^x": {"type": "integer"}},
+                "properties": {"next": {"$ref": "#/definitions/n"}},
+            }},
+        }
         plan = ValidationPlan(compile_schema(schema))
         df = spark.createDataFrame(
             [("a", '{"x1": "no"}'), ("b", '{"x1": 3}')], ["doc_id", "body"]

@@ -54,6 +54,7 @@ def test_no_python_in_validation_plans():
         "val_flagship_metrics_by_bucket", "val_spans_unique",
         "val_json_props", "val_json_nested", "val_json_array",
         "val_json_violations", "val_json_deps", "val_json_recursive",
+        "val_json_dynprops",
     ]
     for name in python_free:
         assert name in sections, name
