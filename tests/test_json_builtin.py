@@ -819,6 +819,40 @@ class TestExplainLowering:
             assert try_lower_full(compile_schema(schema)) is not None
             self._check(spark, schema, docs)
 
+    def test_nested_dynamic_multi_violation_order_caveat(self, spark):
+        """The documented order caveat, pinned exactly: two violations
+        inside ONE nested object below a dynamic key emit in
+        SORTED-key order on the fast path (the entry value's text is
+        the variant cast, which renders sorted keys) while pyeval
+        emits document order. Same rows, same codes, same paths —
+        order alone differs, and only in this corner (shared with the
+        array-element route since round 3)."""
+        schema = {
+            "type": "object",
+            "patternProperties": {
+                "^o": {
+                    "type": "object",
+                    "properties": {
+                        "z": {"type": "integer"},
+                        "a": {"type": "integer"},
+                    },
+                }
+            },
+        }
+        # document key order z-then-a; both values violate
+        doc = '{"o1": {"z": "x", "a": "y"}}'
+        spec = compile_schema(schema)
+        got = self._run(spark, schema, [doc])[0]
+        want = _pyeval_violations(spec, doc)
+        assert got[0] is False and len(want) == 2
+        assert [p for _c, p in want] == ["$.o1.z", "$.o1.a"]  # doc order
+        assert got[1] == list(reversed(want))  # sorted-key order
+        # a single violation per nested object stays order-identical
+        one = '{"o1": {"z": "x", "a": 3}}'
+        assert self._run(spark, schema, [one])[0] == (
+            False, _pyeval_violations(spec, one)
+        )
+
     def test_cyclic_ref_bounded_unroll_parity_and_cut(self, spark):
         """Round-5: a CYCLIC $ref spec opts into the variant fast path
         via max_ref_depth (bounded unrolling, the §7.3 plan). Within
