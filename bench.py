@@ -353,7 +353,8 @@ def _write_scaling_report(result):
             )
     with open(os.path.join(REPO, "BENCH", "latest_scaling.md"), "w") as f:
         f.write(
-            "# BENCH/BASELINE.md — throughput + scaling evidence\n\n"
+            "# BENCH/latest_scaling.md — raw scaling-run evidence "
+            "(generated; hand-curated context lives in BASELINE.md)\n\n"
             "Flagship validation job on the identical materialized spans "
             f"table (sf={result['sf']}, {pairs[0]['docs']} docs), two "
             "execution backends: Column (typed exprs, full verdict + "

@@ -207,12 +207,20 @@ class _Compiler:
 
     def compile(self, node: Node, dtype: DataType, probe: bool = False) -> Ev:
         """Build an evaluator; with probe=True only validates support."""
+        if isinstance(node, Valid):
+            return lambda a: np.ones(len(a), dtype=bool)
+        if isinstance(node, Invalid):
+            return lambda a: np.zeros(len(a), dtype=bool)
         # round-5: non-string map keys — a map models a JSON object, so
         # keys validate as their string rendering (parity with the
         # Column path's transform_keys cast in typed._stringify_map_keys;
         # Arrow's map-to-map cast renders int64 1 -> "1", bool -> "true",
         # same as Spark's CAST). Integral/boolean keys only: float keys
-        # print differently across backends ("1.0" vs "1").
+        # print differently across backends ("1.0" vs "1") — and the
+        # exclusion applies only to nodes that actually read the map
+        # (Valid/Invalid returned above; review finding). Placed after
+        # the constant fast-outs, the per-batch cast also never runs
+        # for constant evaluators.
         if isinstance(dtype, MapType) and not isinstance(
             dtype.keyType, StringType
         ):
@@ -235,10 +243,6 @@ class _Compiler:
                 return inner(pc.cast(a, target))
 
             return cast_keys
-        if isinstance(node, Valid):
-            return lambda a: np.ones(len(a), dtype=bool)
-        if isinstance(node, Invalid):
-            return lambda a: np.zeros(len(a), dtype=bool)
         if isinstance(node, Switch):
             return self._switch(node, dtype)
         if isinstance(node, And):

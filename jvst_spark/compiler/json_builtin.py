@@ -150,6 +150,16 @@ def _inline_refs(
     cycles raise _Unsupported and the spec stays on pyeval's memoized
     closures — the authoritative unbounded semantics.
 
+    POLARITY GUARD (round-5 review finding): substituting Invalid at
+    the cut is fail-closed only in MONOTONE contexts (And/Or/Switch/
+    object/array containers — flipping a subtree False can only flip
+    the root toward False). Under `not` or `oneOf` (Not/Xor) a cut
+    would ACCEPT beyond-depth documents that true recursion rejects,
+    so a cut landing anywhere below a Not/Xor raises _Unsupported and
+    the spec falls back (conservatively including double negation —
+    'never wrong, only absent'). Cycles fully outside Not/Xor unroll
+    as before.
+
     Bounded: a diamond-shaped ref DAG (each def referencing the
     previous twice) doubles per level, and downstream lowering walks
     the TREE — so expansion is capped at _INLINE_BUDGET nodes and
@@ -159,7 +169,7 @@ def _inline_refs(
 
     count = [0]
 
-    def walk(node: Node, stack: tuple) -> Node:
+    def walk(node: Node, stack: tuple, monotone: bool) -> Node:
         if stack:
             # budget counts only nodes visited INSIDE a ref expansion —
             # a large-but-ref-free root costs nothing against it
@@ -173,52 +183,72 @@ def _inline_refs(
                 if unroll_depth is None:
                     raise _Unsupported("cyclic ref")
                 if stack.count(node.uri) >= unroll_depth:
+                    if not monotone:
+                        # the cut is fail-closed only with monotone
+                        # ancestors (see docstring) — refuse under
+                        # Not/Xor rather than accept beyond-depth docs
+                        raise _Unsupported(
+                            "cyclic ref cut under non-monotone "
+                            "combinator (not/oneOf)"
+                        )
                     # the cut: structure that re-enters the cycle
                     # beyond the unroll depth is rejected (Invalid's
                     # default code is INVALID_UNEXPECTED_TOKEN)
                     return Invalid()
             if node.uri not in defs:
                 raise _Unsupported("unresolved ref")
-            return walk(defs[node.uri], stack + (node.uri,))
-        if isinstance(node, (And, Or, Xor)):
+            return walk(defs[node.uri], stack + (node.uri,), monotone)
+        if isinstance(node, (And, Or)):
             return dataclasses.replace(
-                node, terms=tuple(walk(t, stack) for t in node.terms)
+                node,
+                terms=tuple(walk(t, stack, monotone) for t in node.terms),
+            )
+        if isinstance(node, Xor):
+            return dataclasses.replace(
+                node,
+                terms=tuple(walk(t, stack, False) for t in node.terms),
             )
         if isinstance(node, Not):
-            return dataclasses.replace(node, term=walk(node.term, stack))
+            return dataclasses.replace(
+                node, term=walk(node.term, stack, False)
+            )
         if isinstance(node, Switch):
             return dataclasses.replace(
                 node,
-                arms=tuple((t, walk(a, stack)) for t, a in node.arms),
+                arms=tuple(
+                    (t, walk(a, stack, monotone)) for t, a in node.arms
+                ),
             )
         if isinstance(node, ObjPropSet):
             return dataclasses.replace(
                 node,
-                props=tuple((k, walk(s, stack)) for k, s in node.props),
-                patterns=tuple(
-                    (p, walk(s, stack)) for p, s in node.patterns
+                props=tuple(
+                    (k, walk(s, stack, monotone)) for k, s in node.props
                 ),
-                additional=walk(node.additional, stack),
+                patterns=tuple(
+                    (p, walk(s, stack, monotone)) for p, s in node.patterns
+                ),
+                additional=walk(node.additional, stack, monotone),
             )
         if isinstance(node, ObjPropNames):
             return dataclasses.replace(
-                node, name_schema=walk(node.name_schema, stack)
+                node, name_schema=walk(node.name_schema, stack, monotone)
             )
         if isinstance(node, ArrItems):
             return dataclasses.replace(
                 node,
                 positional=tuple(
-                    walk(p, stack) for p in node.positional
+                    walk(p, stack, monotone) for p in node.positional
                 ),
-                additional=walk(node.additional, stack),
+                additional=walk(node.additional, stack, monotone),
             )
         if isinstance(node, ArrContains):
             return dataclasses.replace(
-                node, schema=walk(node.schema, stack)
+                node, schema=walk(node.schema, stack, monotone)
             )
         return node
 
-    return walk(node, ())
+    return walk(node, (), True)
 
 
 def _T() -> Column:

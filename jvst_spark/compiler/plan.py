@@ -314,8 +314,13 @@ class ValidationPlan:
         null terminator exercises its ref k+1 times — so choose D
         above the data's max expansion count; documents within the
         bound validate exactly as pyeval's true recursion would
-        (parity pinned in test_json_builtin.py). Default None = cycles
-        stay on the authoritative pyeval closures.
+        (parity pinned in test_json_builtin.py). The bound is honored
+        on EVERY route: if the spec cannot unroll (a cut landing under
+        not/oneOf — where Invalid-at-cut would not be fail-closed — or
+        any other lowering refusal), the pyeval fallback applies the
+        same cut dynamically (per-path re-entry counter), never true
+        recursion. Default None = cycles stay on the authoritative
+        unbounded pyeval closures.
 
         `engine` (round-5) selects the dynamic-JSON route:
           auto    — JVM variant Columns when the spec lowers, else the
@@ -391,7 +396,9 @@ class ValidationPlan:
         if engine == "variant" and fast_full is None:
             raise ValueError(
                 "engine='variant' but the spec does not lower to the "
-                "JVM fast path (cyclic $ref without max_ref_depth)"
+                "JVM fast path (a cyclic $ref without max_ref_depth, a "
+                "ref cut under not/oneOf, an expansion-budget overrun, "
+                "or a pattern the java regex dialect cannot express)"
             )
         if fast_full is not None:
             packed = fast_full(F.col(json_col))
@@ -399,11 +406,18 @@ class ValidationPlan:
             return ValidationResult(self._project(df, id_col, packed))
 
         # general fallback: the compiled-Python closure inside an
-        # Arrow-batched pandas UDF (authoritative for specs the variant
-        # lowering can't express: $ref, composite enums, non-boolean
-        # additionalProperties, ...)
-        validator = compile_python(self.spec.root, self.spec.defs)
-        explainer = compile_explain(self.spec.root, self.spec.defs)
+        # Arrow-batched pandas UDF (authoritative for cyclic $ref specs
+        # and anything else the variant lowering declines). The bound
+        # is passed through: max_ref_depth keeps its cut semantics on
+        # THIS route too (pyeval's dynamic per-path counter — review
+        # finding: falling back used to silently run true recursion,
+        # flipping verdicts for beyond-depth documents)
+        validator = compile_python(
+            self.spec.root, self.spec.defs, max_ref_depth
+        )
+        explainer = compile_explain(
+            self.spec.root, self.spec.defs, max_ref_depth
+        )
 
         @F.pandas_udf(ArrayType(_VIOLATION_ELEM), F.PandasUDFType.SCALAR)
         def violations_udf(s):

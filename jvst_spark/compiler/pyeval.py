@@ -63,10 +63,29 @@ def _is_integer_number(v: float) -> bool:
     return math.isfinite(v) and v == math.ceil(v)
 
 
-def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Validator:
-    """Compile to a value -> bool closure."""
+def compile_python(
+    node: Node,
+    defs: Optional[Dict[str, Node]] = None,
+    max_ref_depth: Optional[int] = None,
+    _ref_depth: Optional[Dict[str, int]] = None,
+) -> Validator:
+    """Compile to a value -> bool closure.
+
+    `max_ref_depth` (round-5): the (D+1)-th re-entry of the SAME $ref
+    along an evaluation path evaluates as Invalid (False) — the
+    dynamic twin of json_builtin's bounded unrolling, so the pyeval
+    fallback honors apply_json(max_ref_depth=...) with identical
+    semantics instead of silently running true recursion (review
+    finding). Depth is tracked per path via enter/exit bookkeeping;
+    evaluation is synchronous, so one counter dict per compile is
+    safe. `_ref_depth` lets compile_explain share ITS path counters
+    with the fast validators it embeds (a fresh dict would grant
+    embedded subtrees a fresh depth budget)."""
     memo: Dict[str, Validator] = {}
     defs = defs or {}
+    ref_depth: Dict[str, int] = (
+        _ref_depth if _ref_depth is not None else {}
+    )
 
     def comp(n: Node) -> Validator:
         if isinstance(n, Valid):
@@ -214,7 +233,20 @@ def compile_python(node: Node, defs: Optional[Dict[str, Node]] = None) -> Valida
                 # two-step bind so self-references see the final closure
                 memo[uri] = lambda v: True  # placeholder during build
                 memo[uri] = comp(defs[uri])
-            return lambda v: memo[uri](v)
+            if max_ref_depth is None:
+                return lambda v: memo[uri](v)
+
+            def bounded(v, uri=uri):
+                d = ref_depth.get(uri, 0)
+                if d >= max_ref_depth:
+                    return False  # the cut
+                ref_depth[uri] = d + 1
+                try:
+                    return memo[uri](v)
+                finally:
+                    ref_depth[uri] = d
+
+            return bounded
         raise TypeError(f"cannot compile node: {n!r}")
 
     return comp(node)
@@ -224,17 +256,23 @@ ExplainFn = Callable[[object, str], List[Tuple[int, str]]]
 
 
 def compile_explain(
-    node: Node, defs: Optional[Dict[str, Node]] = None
+    node: Node,
+    defs: Optional[Dict[str, Node]] = None,
+    max_ref_depth: Optional[int] = None,
 ) -> Callable[[object], List[Tuple[int, str]]]:
     """Compile to a value -> [(code, json_path)] closure. Empty list ==
     valid. Failures appear in canonical DAG order; index [0] is the
-    reference-VM-equivalent first error."""
+    reference-VM-equivalent first error. `max_ref_depth`: see
+    compile_python — the cut emits INVALID_UNEXPECTED_TOKEN at the cut
+    path, matching the unrolled Invalid; the embedded fast validators
+    share this compile's path counters."""
     memo: Dict[str, ExplainFn] = {}
     defs = defs or {}
     ok: List[Tuple[int, str]] = []
+    ref_depth: Dict[str, int] = {}
 
     def comp(n: Node) -> ExplainFn:
-        fast = compile_python(n, defs)
+        fast = compile_python(n, defs, max_ref_depth, _ref_depth=ref_depth)
 
         if isinstance(n, Valid):
             return lambda v, p: ok
@@ -376,7 +414,20 @@ def compile_explain(
             if uri not in memo:
                 memo[uri] = lambda v, p: ok
                 memo[uri] = comp(defs[uri])
-            return lambda v, p: memo[uri](v, p)
+            if max_ref_depth is None:
+                return lambda v, p: memo[uri](v, p)
+
+            def bounded_explain(v, p, uri=uri):
+                d = ref_depth.get(uri, 0)
+                if d >= max_ref_depth:
+                    return [(E.INVALID_UNEXPECTED_TOKEN, p)]  # the cut
+                ref_depth[uri] = d + 1
+                try:
+                    return memo[uri](v, p)
+                finally:
+                    ref_depth[uri] = d
+
+            return bounded_explain
         raise TypeError(f"cannot compile node: {n!r}")
 
     f = comp(node)

@@ -213,7 +213,14 @@ def _stringify_map_keys(col: Column, dtype: DataType):
     key types only — float keys render differently across backends
     ("1.0" in Spark vs "1" in Arrow) and model no sane object anyway.
     Before round 5 these columns failed analysis outright
-    (map_contains_key(map<bigint,_>, lit(string)) is a type error)."""
+    (map_contains_key(map<bigint,_>, lit(string)) is a type error).
+
+    Called from the KEY-INSPECTING leaf branches only (ObjRequired /
+    ObjPropSet / ObjPropNames over maps), not the dispatch tops —
+    key-agnostic subschemas (Valid/Invalid/PropRange, which only sizes)
+    must keep lowering over any key type (review finding: a top-of-
+    lower() placement made float-keyed maps fail plans that never read
+    a key)."""
     if isinstance(dtype, MapType) and not isinstance(
         dtype.keyType, StringType
     ):
@@ -242,7 +249,6 @@ class _Lowerer:
         """Boolean Column: does `col` (typed `dtype`) satisfy `node`?
         Assumes the enclosing Switch already handled NULL dispatch;
         leaves therefore assume a non-null value of their arm's type."""
-        col, dtype = _stringify_map_keys(col, dtype)
         if isinstance(node, Valid):
             return _T()
         if isinstance(node, Invalid):
@@ -344,6 +350,7 @@ class _Lowerer:
                 ]
                 return reduce(lambda a, b: a & b, conds)
             if isinstance(dtype, MapType):
+                col, dtype = _stringify_map_keys(col, dtype)
                 conds = [F.map_contains_key(col, F.lit(k)) for k in node.keys]
                 return reduce(lambda a, b: a & b, conds)
             return _F()
@@ -447,6 +454,7 @@ class _Lowerer:
                 )
             return reduce(lambda a, b: a & b, conds) if conds else _T()
         if isinstance(dtype, MapType):
+            col, dtype = _stringify_map_keys(col, dtype)
             vt = dtype.valueType
             conds = []
             for k, sub in node.props:
@@ -509,6 +517,7 @@ class _Lowerer:
             ]
             return reduce(lambda a, b: a & b, conds) if conds else _T()
         if isinstance(dtype, MapType):
+            col, dtype = _stringify_map_keys(col, dtype)
             return F.forall(
                 F.map_keys(col),
                 lambda k: _nz(self.lower(node.name_schema, StringType(), k)),
@@ -660,7 +669,6 @@ def _emit(
     groups: List[Column],
     null_guard: Optional[Column],
 ) -> None:
-    col, dtype = _stringify_map_keys(col, dtype)
     if isinstance(node, Valid):
         return
     if isinstance(node, And):
@@ -823,7 +831,6 @@ def _decompose(
     out: List[Check],
     null_guard: Optional[Column],
 ) -> None:
-    col, dtype = _stringify_map_keys(col, dtype)
     if isinstance(node, Valid):
         return
     if isinstance(node, Invalid):

@@ -305,11 +305,14 @@ def jaccard_pairs(
 
 
 def _warn_overflow(overflow: DataFrame, what: str, cap: int) -> None:
-    """Count-and-log the overflow route (one count-only job; the
-    aggregation buffer is constant-size even under degenerate skew)."""
-    n = overflow.count()
+    """Count-and-log the overflow route. ONE count+max aggregation job
+    (two separate actions would re-run the whole banding pipeline
+    twice — review finding); the aggregation buffer is constant-size
+    even under degenerate skew."""
+    n, worst = overflow.agg(
+        F.count("*"), F.max("bucket_size")
+    ).collect()[0]
     if n:
-        worst = overflow.agg(F.max("bucket_size")).collect()[0][0]
         logger.warning(
             "%s: %d band bucket(s) exceeded max_bucket_size=%d "
             "(largest=%d); members beyond the cap were not paired. "

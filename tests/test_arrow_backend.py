@@ -402,7 +402,34 @@ class TestArrowNonStringMapKeys:
         dt = MapType(DoubleType(), LongType(), True)
         assert not supports(spec.root, dt, spec.defs)
         with pytest.raises(SchemaError, match="map key"):
-            lower_typed(spec.root, dt, F.lit(None).cast(dt), spec.defs)
+            df = spark.createDataFrame(
+                [], f"m {dt.simpleString()}"
+            )
+            df.select(
+                lower_typed(spec.root, dt, F.col("m"), spec.defs)
+            )
+
+    def test_float_keys_key_agnostic_specs_still_lower(self, spark):
+        """Review finding: the exclusion must apply only to nodes that
+        READ keys. Constant subschemas compile on both backends over a
+        float-keyed map; size-only checks (minProperties) work on the
+        Column path (they never touch keys)."""
+        from pyspark.sql.types import DoubleType, LongType, MapType
+
+        from jvst_spark.spec.nodes import Invalid, Valid
+
+        dt = MapType(DoubleType(), LongType(), True)
+        ev_t = _Compiler({}).compile(Valid(), dt)
+        ev_f = _Compiler({}).compile(Invalid(), dt)
+        arr = pa.array(
+            [[(1.5, 1)], []], type=pa.map_(pa.float64(), pa.int64())
+        )
+        assert [bool(v) for v in ev_t(arr)] == [True, True]
+        assert [bool(v) for v in ev_f(arr)] == [False, False]
+
+        spec = compile_schema({"type": "object", "minProperties": 1})
+        got = self._column_path(spark, spec, dt, [{1.5: 1}, {}])
+        assert got == [True, False]
 
 
 class TestArrowConformanceCorpus:

@@ -941,6 +941,73 @@ class TestExplainLowering:
         )
         assert _pyeval_violations(spec, chain(6)) == []  # pyeval: valid
 
+    def test_cut_polarity_guard_and_pyeval_bounded_fallback(self, spark):
+        """Review finding: Invalid-at-cut is fail-closed only under
+        monotone combinators. A cyclic ref whose cut would land below
+        not/oneOf refuses to unroll (try_lower_full None) and the
+        pyeval fallback HONORS max_ref_depth with the same dynamic cut
+        semantics — never a silent switch to true recursion."""
+        import json as _json
+
+        from jvst_spark.compiler.json_builtin import try_lower_full
+        from jvst_spark.compiler.pyeval import compile_python
+
+        node_def = {
+            "anyOf": [
+                {"type": "null"},
+                {"type": "object",
+                 "properties": {"next": {"$ref": "#/definitions/node"}}},
+            ]
+        }
+
+        def chain(k):
+            return _json.loads(
+                ('{"next": ' * k) + "null" + "}" * k if k else "null"
+            )
+
+        # monotone cycle: unrolls fine
+        mono = compile_schema(
+            {"definitions": {"node": node_def},
+             "$ref": "#/definitions/node"}
+        )
+        assert try_lower_full(mono, max_ref_depth=4) is not None
+
+        # cut under `not`: refuses to unroll at ANY depth
+        neg = compile_schema(
+            {"definitions": {"node": node_def},
+             "not": {"$ref": "#/definitions/node"}}
+        )
+        assert try_lower_full(neg, max_ref_depth=4) is None
+
+        # pyeval honors the bound: the dynamic cut matches the unroll
+        # definition (the (D+1)-th re-entry evaluates as Invalid), so
+        # under `not` a beyond-depth doc becomes VALID — the defined
+        # composition, not true recursion (which would reject nothing
+        # here and accept everything)
+        bounded = compile_python(neg.root, neg.defs, max_ref_depth=4)
+        unbounded = compile_python(neg.root, neg.defs)
+        deep = chain(10)
+        assert bounded(deep) is True  # inner cut False -> not -> True
+        assert unbounded(deep) is False  # true recursion: inner valid
+        assert bounded(chain(2)) is False  # within bound: same as true
+
+        # monotone spec: pyeval-with-depth == the unrolled fast path,
+        # including beyond the cut
+        plan = ValidationPlan(mono)
+        docs = [_json.dumps(chain(k))[0:] for k in (0, 2, 3, 4, 7)]
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(docs)], ["doc_id", "body"]
+        )
+        fast = {
+            r["doc_id"]: r["valid"]
+            for r in plan.apply_json(
+                df, "body", max_ref_depth=4
+            ).verdicts().collect()
+        }
+        bmono = compile_python(mono.root, mono.defs, max_ref_depth=4)
+        for i, d in enumerate(docs):
+            assert fast[str(i)] == bmono(_json.loads(d)), d
+
     def test_fuzz_explain_matches_pyeval(self, spark):
         """Seeded fuzz for the VIOLATION lowering: random supported
         specs x random documents — codes, paths, and order must match
