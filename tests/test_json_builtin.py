@@ -1107,6 +1107,99 @@ class TestExplainLowering:
                 )
         assert n_checked >= 8, f"only {n_checked} specs lowered"
 
+    def test_fuzz_dynamic_key_specs_match_pyeval(self, spark):
+        """Round-5 fuzz for the map-entry axis: random specs built
+        around patternProperties VALUE subschemas, schema-form
+        additionalProperties, and exotic (quote/backslash/dot) keys x
+        random documents. Verdicts must match pyeval exactly;
+        violations are compared as multisets (the documented nested
+        sorted-key order caveat makes exact order generator-dependent
+        below dynamic keys)."""
+        import random
+
+        rng = random.Random(20260905)
+        EXOTIC = ['q"u', "b\\s", "d.ot", "a b", "ok"]
+
+        def leaf():
+            return rng.choice([
+                {"type": "integer", "minimum": rng.randint(-3, 1)},
+                {"type": "string", "minLength": rng.randint(1, 3)},
+                {"type": "number", "maximum": rng.randint(2, 8)},
+                {"type": "boolean"},
+                {"type": "object", "required": ["v"],
+                 "properties": {"v": {"type": "integer"}},
+                 "additionalProperties": rng.random() < 0.5},
+            ])
+
+        def dyn_spec():
+            out = {"type": "object"}
+            pats = {}
+            for p in rng.sample(["^m_", "^n", "x$", "^[ab]"],
+                                rng.randint(1, 2)):
+                pats[p] = leaf()
+            out["patternProperties"] = pats
+            if rng.random() < 0.5:
+                out["properties"] = {
+                    rng.choice(EXOTIC): leaf() for _ in range(2)
+                }
+            if rng.random() < 0.6:
+                out["additionalProperties"] = rng.choice(
+                    [False, True, leaf()]
+                )
+            if rng.random() < 0.3:
+                out["required"] = [rng.choice(EXOTIC)]
+            return out
+
+        def value():
+            d = {}
+            keys = ["m_1", "nn", "ax", "bx", "zz"] + EXOTIC
+            for key in rng.sample(keys, rng.randint(0, 5)):
+                r = rng.random()
+                if r < 0.3:
+                    d[key] = rng.randint(-5, 9)
+                elif r < 0.5:
+                    d[key] = rng.choice(["", "a", "xyz"])
+                elif r < 0.6:
+                    d[key] = rng.choice([True, None])
+                elif r < 0.8:
+                    d[key] = {"v": rng.choice([1, "bad"]),
+                              "w": 2} if rng.random() < 0.5 else {"v": 3}
+                else:
+                    d[key] = [1, 2]
+            return d
+
+        from jvst_spark.compiler.json_builtin import try_lower_full
+
+        n_checked = 0
+        for trial in range(12):
+            schema = dyn_spec()
+            spec = compile_schema(schema)
+            if try_lower_full(spec) is None:
+                continue
+            n_checked += 1
+            docs = [json.dumps(value()) for _ in range(20)]
+            docs += ["7", "null", "[1]", "not json"]
+            plan = ValidationPlan(spec)
+            df = spark.createDataFrame(
+                [(str(i), d) for i, d in enumerate(docs)],
+                ["doc_id", "body"],
+            )
+            got = {
+                int(r["doc_id"]): (
+                    r["valid"],
+                    sorted(
+                        (v["code"], v["path"]) for v in r["_violations"]
+                    ),
+                )
+                for r in plan.apply_json(df, "body").frame.collect()
+            }
+            for i, d in enumerate(docs):
+                want = _pyeval_violations(spec, d)
+                assert got[i] == (len(want) == 0, sorted(want)), (
+                    schema, d, got[i], want
+                )
+        assert n_checked >= 8, f"only {n_checked} specs lowered"
+
     def test_dependencies_lower_with_parity(self, spark):
         """Round-4: BOTH `dependencies` desugars reach the fast path —
         the property form (forbidden-key pattern = Invalid pattern
