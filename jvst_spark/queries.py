@@ -224,8 +224,9 @@ def val_spans_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "auto" (default: JVM variant Columns when the spec lowers, pyeval
 # otherwise) | "variant" | "pyeval". scripts/json_engine_bench.py flips
 # it to measure the two routes on identical inputs; the oracle gate
-# always runs "auto". val_json_recursive is exempt (its bounded-unroll
-# cut IS the query's contract; pyeval would run true recursion).
+# always runs "auto". val_json_recursive participates too: pyeval
+# honors max_ref_depth with the same cut semantics (round-5 review
+# fix), so the bounded contract holds on every engine.
 JSON_ENGINE = "auto"
 
 # dynamic-JSON path: validate the events.props JSON column with the
@@ -671,7 +672,10 @@ def val_json_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ev.select("event_id", doc.alias("doc"))
     plan = ValidationPlan(compile_schema(_RECURSIVE_SPEC))
     return (
-        plan.apply_json(df, "doc", id_col="event_id", max_ref_depth=9)
+        plan.apply_json(
+            df, "doc", id_col="event_id", max_ref_depth=9,
+            engine=JSON_ENGINE,
+        )
         .verdicts()
         .select("doc_id", "valid")
     )

@@ -32,6 +32,9 @@ QUERIES = [
     "val_json_violations",
     "val_json_deps",
     "val_json_dynprops",
+    # bounded cyclic-ref spec: pyeval honors max_ref_depth with the
+    # same cut semantics, so the comparison is apples-to-apples
+    "val_json_recursive",
 ]
 
 
