@@ -76,15 +76,23 @@ def main(argv=None) -> int:
         return 0
 
     if cmd == "validate":
+        max_ref_depth = None
+        if "--max-ref-depth" in argv:
+            i = argv.index("--max-ref-depth")
+            max_ref_depth = int(argv[i + 1])
+            del argv[i : i + 2]
         if len(argv) < 2:
-            print("usage: validate <schema.json> <doc.json>...",
-                  file=sys.stderr)
+            print("usage: validate <schema.json> [--max-ref-depth N] "
+                  "<doc.json>...", file=sys.stderr)
             return 2
         from jvst_spark.compiler.pyeval import compile_explain
         from jvst_spark import errors as E
 
         spec = _load_spec(argv[0])
-        explainer = compile_explain(spec.root, spec.defs)
+        # --max-ref-depth: the engine's bounded-$ref cut (the (D+1)-th
+        # re-entry evaluates as INVALID_UNEXPECTED_TOKEN), same
+        # semantics as apply_json(max_ref_depth=...)
+        explainer = compile_explain(spec.root, spec.defs, max_ref_depth)
         all_valid = True
         for doc_path in argv[1:]:
             try:

@@ -77,3 +77,33 @@ def test_compile_dump_prints_all_stages(tmp_path):
     assert "OBJ_REQUIRED ['a']" in r.stdout
     assert "NUM_INTEGER" in r.stdout
     assert "INVALID" in r.stdout  # additionalProperties: false
+
+
+def test_validate_max_ref_depth_cut(tmp_path):
+    """--max-ref-depth applies the bounded-$ref cut: a chain deeper
+    than the bound fails with INVALID_UNEXPECTED_TOKEN at the cut
+    path; within the bound it validates as true recursion would."""
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({
+        "definitions": {"node": {"anyOf": [
+            {"type": "null"},
+            {"type": "object",
+             "properties": {"next": {"$ref": "#/definitions/node"}}},
+        ]}},
+        "$ref": "#/definitions/node",
+    }))
+    shallow = tmp_path / "shallow.json"
+    shallow.write_text('{"next": {"next": null}}')
+    deep = tmp_path / "deep.json"
+    deep.write_text('{"next": ' * 8 + "null" + "}" * 8)
+
+    # unbounded: both valid (true recursion)
+    assert run_cli("validate", str(schema), str(shallow),
+                   str(deep)).returncode == 0
+    # bounded at 4: shallow ok, deep cut
+    assert run_cli("validate", str(schema), "--max-ref-depth", "4",
+                   str(shallow)).returncode == 0
+    r = run_cli("validate", str(schema), "--max-ref-depth", "4",
+                str(deep))
+    assert r.returncode == 1
+    assert "$.next.next.next.next" in r.stderr
