@@ -854,8 +854,9 @@ FROM occ WHERE k >= 2
 def stream_dedup_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-seen-wins streaming dedup: re-arrivals of a doc_id in any
     later micro-batch (or the same one) emit to the duplicates stream
-    with their occurrence number. applyInPandasWithState holds the
-    per-group seen set across batches."""
+    with their occurrence number. applyInPandasWithState holds one
+    counter per doc_id across batches (the state-store-scalable
+    shape; round-5 redesign)."""
     import hashlib
     import os
     import tempfile
@@ -879,7 +880,7 @@ def stream_dedup_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    dups = streaming_duplicates(stream, n_groups=8)
+    dups = streaming_duplicates(stream)
     for q in spark.streams.active:
         if q.name == "jvst_stream_dedup":
             q.stop()

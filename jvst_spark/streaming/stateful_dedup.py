@@ -1,11 +1,23 @@
 """Stateful streaming dedup: drop already-seen doc_ids across
 micro-batches with applyInPandasWithState.
 
-The streaming analogue of the table uniqueness check — state holds the
-set of seen keys per hash group; late re-arrivals of a key are emitted
-to the duplicates stream instead of the clean stream. State is bounded
-by the key cardinality per group (at production scale: pair with a
-retention timeout or an upstream bucket-pruned reprocess window).
+The streaming analogue of the table uniqueness check. Round-5 scale
+redesign: state is keyed BY doc_id — one long counter per key — so
+the state store holds exactly one tiny entry per distinct document
+id. That is the shape Spark's state backends are built for (the
+RocksDB state store handles billions of keys with incremental
+checkpointing; `spark.sql.streaming.stateStore.providerClass` selects
+it in deployment). The previous design grouped by a hash bucket and
+serialized the bucket's ENTIRE seen-set into one state blob — at
+10^12 documents each of the 64 blobs would be gigabytes, an OOM by
+construction; it survives as `streaming_duplicates_blob` strictly as
+the regression fixture proving output equivalence.
+
+Late re-arrivals of a key are emitted to the duplicates stream
+(n_seen = occurrences so far); first arrivals emit nothing, so the
+clean stream is the complement. For unbounded streams pair with an
+upstream watermark/reprocess window; state per key never grows (one
+counter), so retention is about key CARDINALITY only.
 """
 
 from __future__ import annotations
@@ -26,15 +38,55 @@ _OUT = StructType(
         StructField("n_seen", LongType(), False),
     ]
 )
-_STATE = StructType([StructField("seen", StringType(), True)])
+_COUNT_STATE = StructType([StructField("n", LongType(), True)])
 
 
 def streaming_duplicates(
-    stream_df: DataFrame, id_col: str = "doc_id", n_groups: int = 64
+    stream_df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Emit (doc_id, n_seen) whenever a doc_id arrives that was already
     seen in any earlier micro-batch (n_seen = occurrences so far incl.
-    current). First arrivals emit nothing."""
+    current). First arrivals emit nothing.
+
+    State: one long per doc_id (groupBy(doc_id) -> count state). The
+    per-batch shuffle is on doc_id — the same key a batch uniqueness
+    check would shuffle on — and the state store scales by key count,
+    not by value size."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (doc,) = key
+        n = state.get[0] if state.exists else 0
+        out_counts = []
+        for pdf in pdfs:
+            for _ in range(len(pdf)):
+                n += 1
+                if n >= 2:
+                    out_counts.append(n)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"doc_id": [doc] * len(out_counts), "n_seen": out_counts}
+        )
+
+    grouped = stream_df.select(
+        F.col(id_col).cast("string").alias("doc_id")
+    ).groupBy("doc_id")
+    return grouped.applyInPandasWithState(
+        update, _OUT, _COUNT_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_BLOB_STATE = StructType([StructField("seen", StringType(), True)])
+
+
+def streaming_duplicates_blob(
+    stream_df: DataFrame, id_col: str = "doc_id", n_groups: int = 64
+) -> DataFrame:
+    """The round-4 hash-group design (seen-set serialized into one
+    state blob per group). Kept ONLY as the differential fixture for
+    streaming_duplicates — its per-group state grows with the group's
+    key cardinality, which does not scale. Do not deploy."""
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -64,5 +116,5 @@ def streaming_duplicates(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("_g"),
     ).groupBy("_g")
     return grouped.applyInPandasWithState(
-        update, _OUT, _STATE, "append", GroupStateTimeout.NoTimeout
+        update, _OUT, _BLOB_STATE, "append", GroupStateTimeout.NoTimeout
     )

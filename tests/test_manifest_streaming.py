@@ -244,7 +244,7 @@ class TestStreaming:
         stream = spark.readStream.schema("doc_id string").option(
             "maxFilesPerTrigger", "1"
         ).json(str(d))
-        dupes = streaming_duplicates(stream, n_groups=4)
+        dupes = streaming_duplicates(stream)
         q = (
             dupes.writeStream.format("memory")
             .queryName("dupstream")
@@ -261,6 +261,29 @@ class TestStreaming:
         # 'a' dup within batch1 (n=2) and once more later (n=3);
         # 'b' dup across batches (n=2); order of files = name order
         assert rows == [("a", 2), ("a", 3), ("b", 2)]
+
+        # differential vs the retired hash-group blob design (kept as
+        # the fixture proving the per-key state redesign emits the
+        # identical row multiset)
+        from jvst_spark.streaming.stateful_dedup import (
+            streaming_duplicates_blob,
+        )
+
+        q2 = (
+            streaming_duplicates_blob(stream, n_groups=4)
+            .writeStream.format("memory")
+            .queryName("dupstream_blob")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        rows2 = sorted(
+            (r["doc_id"], r["n_seen"])
+            for r in spark.sql("SELECT * FROM dupstream_blob").collect()
+        )
+        assert rows2 == rows
 
     def test_violation_rate_windows(self, spark, tmp_path):
         from jvst_spark.streaming.validate_stream import (
