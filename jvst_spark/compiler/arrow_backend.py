@@ -18,13 +18,16 @@ keys child + values child + one cumsum reduction)/ArrItems(single AND
 positional+additionalItems — per-index gather, tail via position
 mask)/ArrContains/ItemRange/EnumMatch(scalars, arrays, objects —
 composite values via kernel-space canonical serialization in the enum
-regime)/acyclic Ref/ArrUnique(scalar elements — lexsort dup-scan in
+regime)/Ref (incl. cyclic — recursion bounded by the column's
+DataType exactly as the typed-Column path bounds it, same 64-hop
+budget; a cycle that never narrows the dtype raises Unsupported, as
+the Column path raises SchemaError)/ArrUnique(scalar elements — lexsort dup-scan in
 double bit-pattern space; composite elements — canonical strings +
 per-segment sorted adjacent-dup scan; UEM semantics). Non-string
 (integral/boolean) map keys validate as their string rendering via a
 map-to-map key cast (round 5 — parity with the Column path's
 transform_keys normalization; float keys stay excluded, their
-rendering differs across backends). Not supported: cyclic refs.
+rendering differs across backends).
 
 Dialect note: pc.match_substring_regex is RE2 — no backreferences or
 lookaround (same family as the reference's libfsm DFAs, which also
@@ -281,10 +284,16 @@ class _Compiler:
         if isinstance(node, Ref):
             if node.uri not in self.defs:
                 raise Unsupported("unresolved ref")
+            # cyclic refs terminate because each hop through a
+            # container narrows the DataType (finite); the budget —
+            # same 64 as typed.py's _ref_budget so no spec the Column
+            # path lowers falls back here — catches non-narrowing
+            # cycles (e.g. allOf self-ref), which the Column path
+            # rejects with SchemaError for the same reason
             self._ref_depth += 1
-            if self._ref_depth > 16:
+            if self._ref_depth > 64:
                 self._ref_depth -= 1
-                raise Unsupported("deep/cyclic ref")
+                raise Unsupported("non-narrowing ref cycle")
             try:
                 return self.compile(self.defs[node.uri], dtype)
             finally:

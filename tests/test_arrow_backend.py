@@ -847,3 +847,122 @@ class TestArrowCompositeCanon:
             pyv([{}, {}]),
         ]
         assert got == expect, (got, expect)
+
+
+class TestArrowRecursiveRefs:
+    """Round-5 (late): cyclic $ref through the Arrow backend —
+    recursion bounded by the column's DataType exactly as the
+    typed-Column path bounds it (same 64-hop budget; was 16, which
+    made dtypes nested 17+ deep fall back even though the Column path
+    lowered them). The reference runs recursion natively via VM CALL
+    frames (src/validate_vm.c:1449-1468); over TYPED columns the
+    DataType is the call-depth bound."""
+
+    SCHEMA = {
+        "$ref": "#/definitions/node",
+        "definitions": {
+            "node": {
+                "type": "object",
+                "required": ["v"],
+                "properties": {
+                    "v": {"type": "integer", "minimum": 0},
+                    "next": {"$ref": "#/definitions/node"},
+                },
+            }
+        },
+    }
+
+    @staticmethod
+    def _dtype_str(depth):
+        s = "struct<v:bigint>"
+        for _ in range(depth - 1):
+            s = f"struct<v:bigint,next:{s}>"
+        return s
+
+    @staticmethod
+    def _pa_type(depth):
+        t = pa.struct([("v", pa.int64())])
+        for _ in range(depth - 1):
+            t = pa.struct([("v", pa.int64()), ("next", t)])
+        return t
+
+    @staticmethod
+    def _chain(values):
+        doc = None
+        for v in reversed(values):
+            doc = {"v": v} if doc is None else {"v": v, "next": doc}
+        return doc
+
+    def _docs(self, depth):
+        assert depth >= 19
+        return (
+            [self._chain(list(range(k))) for k in range(1, depth + 1)]
+            + [
+                self._chain([0] * 10 + [-1] + [0] * 5),  # bad mid-chain
+                # bad value past the old 16-hop limit (chain stays
+                # within the dtype depth — a from_json parse of a
+                # DEEPER chain would silently truncate it, changing
+                # the document itself, so that is not a parity case)
+                self._chain([0] * (depth - 2) + [-3]),
+                self._chain([7]),
+                None,
+            ]
+        )
+
+    def test_deep_linked_list_parity_with_pyeval(self, spark):
+        from pyspark.sql.types import _parse_datatype_string
+
+        depth = 24  # > the old 16-hop Unsupported threshold
+        spec = compile_schema(self.SCHEMA)
+        dt = _parse_datatype_string(self._dtype_str(depth))
+        assert supports(spec.root, dt, spec.defs)
+        docs = self._docs(depth)
+        ev = _Compiler(spec.defs).compile(spec.root, dt)
+        arr = pa.array(docs, type=self._pa_type(depth))
+        got = [bool(v) for v in ev(arr)]
+        pyv = compile_python(spec.root, spec.defs)
+        expect = [pyv(d) for d in docs]
+        assert got == expect
+        assert True in got and False in got
+
+    def test_deep_linked_list_spark_roundtrip_vs_column_path(self, spark):
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import _parse_datatype_string
+
+        from jvst_spark.compiler.typed import lower_typed
+
+        depth = 20
+        spec = compile_schema(self.SCHEMA)
+        dt = _parse_datatype_string(self._dtype_str(depth))
+        docs = self._docs(depth)
+        df = spark.createDataFrame(
+            [(i, _json.dumps(d)) for i, d in enumerate(docs)],
+            "i long, txt string",
+        ).select("i", F.from_json("txt", dt).alias("doc"))
+        cv = df.select(
+            "i",
+            F.coalesce(
+                lower_typed(spec.root, dt, F.col("doc"), spec.defs),
+                F.lit(False),
+            ).alias("valid"),
+        ).collect()
+        column = {r["i"]: r["valid"] for r in cv}
+        pyv = compile_python(spec.root, spec.defs)
+        assert column == {i: bool(pyv(d)) for i, d in enumerate(docs)}
+
+    def test_non_narrowing_cycle_stays_unsupported(self, spark):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = {
+            "$ref": "#/definitions/a",
+            "definitions": {
+                "a": {"allOf": [{"minProperties": 0},
+                                {"$ref": "#/definitions/a"}]}
+            },
+        }
+        spec = compile_schema(schema)
+        assert not supports(
+            spec.root, _parse_datatype_string("struct<v:bigint>"), spec.defs
+        )
