@@ -155,16 +155,16 @@ def synthetic_media(spark, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-def decode_ppm(payload: bytes) -> List[float]:
-    """Binary PPM (P6) -> FEATURE_DIM features:
-    [width, height, maxval, mean_r, mean_g, mean_b, min_r, max_r, 0...].
-    Raises ValueError on malformed input (a codec, not a heuristic)."""
+def _parse_ppm(payload: bytes):
+    """Binary PPM (P6) header + pixel load -> (w, h, maxval,
+    h x w x 3 uint8 array). Raises ValueError on malformed input
+    (a codec, not a heuristic). Header tokenizer: whitespace-separated
+    tokens, '#' starts a comment that runs to end-of-line (the PPM
+    spec)."""
     import numpy as np
 
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
-    # header tokenizer: whitespace-separated tokens, '#' starts a
-    # comment that runs to end-of-line (the PPM spec)
     pos = 2
     tokens: List[int] = []
     while len(tokens) < 3:
@@ -180,8 +180,18 @@ def decode_ppm(payload: bytes) -> List[float]:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raw RGB
     w, h, maxval = tokens
+    # frombuffer raises ValueError on truncated pixel data
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    rgb = px.reshape(h, w, 3).astype(np.int64)
+    return w, h, maxval, px.reshape(h, w, 3)
+
+
+def decode_ppm(payload: bytes) -> List[float]:
+    """Binary PPM (P6) -> FEATURE_DIM features:
+    [width, height, maxval, mean_r, mean_g, mean_b, min_r, max_r, 0...].
+    Raises ValueError on malformed input (a codec, not a heuristic)."""
+
+    w, h, maxval, px = _parse_ppm(payload)
+    rgb = px.astype("int64")
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
     n = w * h
     out = [
@@ -236,6 +246,75 @@ def decode_wav_pcm16(payload: bytes) -> List[float]:
         float(s.min()), float(s.max()), float(s[0]), float(s[-1]),
     ]
     return out + [0.0] * (FEATURE_DIM - len(out))
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a binary PPM (P6) — a REAL image
+    transform (one numpy gather over the pixel array), emitting a valid
+    P6 payload that decode_ppm re-parses. Source index for destination
+    pixel i is floor(i * src / out) — the standard NN mapping, exact in
+    integer arithmetic so the oracle can replay it in SQL."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    w, h, maxval, rgb = _parse_ppm(payload)
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    out = rgb[np.ix_(ys, xs)]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    media_type: str = "image",
+    payload_col: str = "payload",
+    resizer: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Resize every `media_type` payload via mapInPandas (binary in,
+    binary out — the same batch-amortized plumbing as decode_features;
+    payloads never cross as per-row pickles). Other media types pass
+    through untouched. One malformed payload yields a NULL payload,
+    never a dead Spark task (the engine's adversarial-input rule).
+    If a `meta` struct column is present, its width/height are updated
+    Column-side for the resized rows."""
+    fn = resizer or resize_ppm
+
+    def resize_batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out_payloads = []
+            for mt, payload in zip(pdf["media_type"], pdf[payload_col]):
+                if mt != media_type or payload is None:
+                    out_payloads.append(payload)
+                    continue
+                try:
+                    out_payloads.append(fn(bytes(payload), out_w, out_h))
+                except Exception:
+                    out_payloads.append(None)
+            out = pdf.copy()
+            out[payload_col] = out_payloads
+            yield out
+
+    from jvst_spark.ops._parallel import ensure_min_parallelism
+
+    resized = ensure_min_parallelism(media).mapInPandas(
+        resize_batches, media.schema
+    )
+    if "meta" in resized.columns:
+        is_target = F.col("media_type") == F.lit(media_type)
+        resized = resized.withColumn(
+            "meta",
+            F.when(
+                is_target,
+                F.col("meta")
+                .withField("width", F.lit(out_w).cast("int"))
+                .withField("height", F.lit(out_h).cast("int")),
+            ).otherwise(F.col("meta")),
+        )
+    return resized
 
 
 def _ppm_bytes(d: int) -> bytes:

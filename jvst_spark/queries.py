@@ -1783,6 +1783,66 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_resize_ppm",
+    # nearest-neighbor: resized column x reads source column
+    # floor(x*w/8), so every statistic of the resized image has a
+    # closed form from doc_id (source R ramps along x from r0 = d%200;
+    # G/B constant). Eighths are dyadic, so mean_r round-trips float32
+    # exactly.
+    """
+WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, doc_id % 200 AS r0,
+                  (doc_id * 7) % 256 AS g0, (doc_id * 13) % 256 AS b0
+           FROM documents),
+rx AS (SELECT doc_id,
+              avg(CAST((x * w) // 8 AS DOUBLE)) AS mean_off,
+              max((x * w) // 8) AS max_off
+       FROM m, UNNEST(range(0, 8)) AS t(x)
+       GROUP BY doc_id)
+SELECT concat('img-', CAST(m.doc_id AS VARCHAR)) AS media_ref,
+       CAST(8 AS DOUBLE) AS width,
+       CAST(6 AS DOUBLE) AS height,
+       CAST(255 AS DOUBLE) AS maxval,
+       m.r0 + rx.mean_off AS mean_r,
+       CAST(m.g0 AS DOUBLE) AS mean_g,
+       CAST(m.b0 AS DOUBLE) AS mean_b,
+       CAST(m.r0 AS DOUBLE) AS min_r,
+       CAST(m.r0 + rx.max_off AS DOUBLE) AS max_r
+FROM m JOIN rx ON m.doc_id = rx.doc_id
+""",
+)
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the media plumbing: every PPM payload
+    nearest-neighbor-resized to 8x6 (mixed up- and downscales: source
+    widths 4-8) as a new valid P6 payload, then re-decoded by the PPM
+    codec — the oracle checks per-pixel statistics of the RESIZED
+    image, proving the gather actually moved pixels, not just the
+    header."""
+    from jvst_spark.ops.multimodal import (
+        decode_features,
+        decode_ppm,
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, sf_dir, "image")
+    out = decode_features(
+        resize_images(media, 8, 6), decoders={"image": decode_ppm}
+    )
+    f = F.col("features")
+    names = [
+        "width", "height", "maxval", "mean_r", "mean_g", "mean_b",
+        "min_r", "max_r",
+    ]
+    return out.select(
+        "media_ref",
+        *[
+            F.element_at(f, i + 1).cast("double").alias(n)
+            for i, n in enumerate(names)
+        ],
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

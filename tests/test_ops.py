@@ -616,6 +616,55 @@ class TestMultimodal:
         rows = frames.collect()
         assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
 
+    def test_resize_ppm_moves_pixels(self):
+        """resize_ppm is a real nearest-neighbor gather: a 4x2 ramp
+        image downscaled to 2x1 picks source columns floor(0*4/2)=0 and
+        floor(1*4/2)=2; upscaled to 8x2 repeats each column twice. The
+        output is a valid P6 payload the codec re-parses."""
+        from jvst_spark.ops.multimodal import decode_ppm, resize_ppm
+
+        # 4x2, R = x*10, G = 20, B = 30
+        px = bytes(
+            b for x in (0, 1, 2, 3) for b in (x * 10, 20, 30)
+        )
+        payload = b"P6\n4 2\n255\n" + px + px
+        down = decode_ppm(resize_ppm(payload, 2, 1))
+        assert down[:8] == [2.0, 1.0, 255.0, 10.0, 20.0, 30.0, 0.0, 20.0]
+        up = decode_ppm(resize_ppm(payload, 8, 2))
+        # each source column twice: mean R = (0+0+10+10+20+20+30+30)/8
+        assert up[:8] == [8.0, 2.0, 255.0, 15.0, 20.0, 30.0, 0.0, 30.0]
+
+    def test_resize_images_plumbing(self, spark):
+        """resize_images: image payloads re-emitted as valid resized
+        PPMs (re-decodable), non-image payloads untouched, malformed
+        payloads contained as NULL, meta.width/height updated only for
+        the resized type."""
+        from pyspark.sql import functions as F
+
+        from jvst_spark.ops import multimodal as mm
+
+        rows = [
+            ("good", "image", mm._ppm_bytes(7), (9, 9)),
+            ("bad", "image", b"GIF89a...", (9, 9)),
+            ("audio", "audio", b"RIFFjunk", (9, 9)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_ref string, media_type string, payload binary, "
+            "meta struct<width:int,height:int>",
+        )
+        out = {
+            r["media_ref"]: r
+            for r in mm.resize_images(df, 8, 6).collect()
+        }
+        f = mm.decode_ppm(bytes(out["good"]["payload"]))
+        assert f[:3] == [8.0, 6.0, 255.0]
+        assert out["good"]["meta"]["width"] == 8
+        assert out["good"]["meta"]["height"] == 6
+        assert out["bad"]["payload"] is None
+        assert bytes(out["audio"]["payload"]) == b"RIFFjunk"
+        assert out["audio"]["meta"]["width"] == 9  # untouched
+
 
 class TestWinnowEdge:
     def test_empty_and_tiny_docs_match_oracle(self, spark):
