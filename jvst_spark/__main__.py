@@ -47,6 +47,10 @@ def main(argv=None) -> int:
         out = None
         if "-o" in argv:
             i = argv.index("-o")
+            if i + 1 >= len(argv):
+                print("usage: compile <schema.json> [-o plan.json] [-v] "
+                      "[--dump]", file=sys.stderr)
+                return 2
             out = argv[i + 1]
             del argv[i : i + 2]
         if len(argv) != 1:
@@ -76,14 +80,22 @@ def main(argv=None) -> int:
         return 0
 
     if cmd == "validate":
+        usage = ("usage: validate <schema.json> [--max-ref-depth N] "
+                 "<doc.json>...")
         max_ref_depth = None
-        if "--max-ref-depth" in argv:
+        # while-loop so a duplicated flag is consumed, not silently
+        # left in argv as a bogus document path; a missing or non-int
+        # value prints usage + exit 2, never a traceback
+        while "--max-ref-depth" in argv:
             i = argv.index("--max-ref-depth")
-            max_ref_depth = int(argv[i + 1])
+            try:
+                max_ref_depth = int(argv[i + 1])
+            except (IndexError, ValueError):
+                print(usage, file=sys.stderr)
+                return 2
             del argv[i : i + 2]
         if len(argv) < 2:
-            print("usage: validate <schema.json> [--max-ref-depth N] "
-                  "<doc.json>...", file=sys.stderr)
+            print(usage, file=sys.stderr)
             return 2
         from jvst_spark.compiler.pyeval import compile_explain
         from jvst_spark import errors as E
@@ -98,6 +110,11 @@ def main(argv=None) -> int:
             try:
                 with open(doc_path) as f:
                     doc = json.load(f)
+            except OSError as exc:
+                # an unreadable document is a CLI error (exit 2, like
+                # the reference's file_main error path), not a verdict
+                print(f"{doc_path}: {exc}", file=sys.stderr)
+                return 2
             except ValueError:
                 print(f"{doc_path}:\t{E.INVALID_JSON:#06x}\t$\t"
                       f"{E.invalid_msg(E.INVALID_JSON)}", file=sys.stderr)

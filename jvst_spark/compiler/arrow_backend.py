@@ -202,6 +202,15 @@ class _Compiler:
     def __init__(self, defs: Dict[str, Node]):
         self.defs = defs
         self._ref_depth = 0
+        # (uri, id(dtype)) -> (dtype, Ev): evaluators take the array
+        # as an argument (unlike the Column path, whose expressions
+        # embed the column path), so one compile per (def, dtype) is
+        # reusable everywhere that pair recurs — without this, a def
+        # with TWO self-ref properties over a DAG-shared dtype walks
+        # 2^depth paths (review finding). The dtype is stored to pin
+        # the id() for the compiler's lifetime.
+        self._ref_memo: dict = {}
+        self._ref_stack: set = set()  # in-progress: hit = true cycle
 
     @staticmethod
     def _map_keys_ok(dtype) -> None:
@@ -285,19 +294,31 @@ class _Compiler:
             if node.uri not in self.defs:
                 raise Unsupported("unresolved ref")
             # cyclic refs terminate because each hop through a
-            # container narrows the DataType (finite); the budget —
-            # same 64 as typed.py's _ref_budget so no spec the Column
-            # path lowers falls back here — catches non-narrowing
-            # cycles (e.g. allOf self-ref), which the Column path
-            # rejects with SchemaError for the same reason
+            # container narrows the DataType (finite); a re-entry at
+            # the SAME (uri, dtype) while that pair is still compiling
+            # is a non-narrowing cycle (e.g. allOf self-ref) — exactly
+            # what the Column path rejects with SchemaError. The depth
+            # budget (same 64 as typed.py's _ref_budget, so no spec
+            # the Column path lowers falls back here) stays as the
+            # backstop for mutual-ref chains.
+            key = (node.uri, id(dtype))
+            hit = self._ref_memo.get(key)
+            if hit is not None:
+                return hit[1]
+            if key in self._ref_stack:
+                raise Unsupported("non-narrowing ref cycle")
             self._ref_depth += 1
             if self._ref_depth > 64:
                 self._ref_depth -= 1
-                raise Unsupported("non-narrowing ref cycle")
+                raise Unsupported("ref nesting beyond budget")
+            self._ref_stack.add(key)
             try:
-                return self.compile(self.defs[node.uri], dtype)
+                ev = self.compile(self.defs[node.uri], dtype)
             finally:
                 self._ref_depth -= 1
+                self._ref_stack.discard(key)
+            self._ref_memo[key] = (dtype, ev)
+            return ev
 
         if isinstance(node, NumRange):
             if not isinstance(dtype, _NUMERIC):

@@ -180,6 +180,13 @@ def _parse_ppm(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raw RGB
     w, h, maxval = tokens
+    if w < 1 or h < 1:
+        raise ValueError("PPM dimensions must be positive")
+    if not 0 < maxval <= 255:
+        # maxval > 255 means TWO bytes per sample (the PPM spec) —
+        # reading them as uint8 would silently misdecode, and a resize
+        # would EMIT a corrupt payload, so reject rather than guess
+        raise ValueError("only 1-byte-per-sample PPM (maxval <= 255)")
     # frombuffer raises ValueError on truncated pixel data
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, maxval, px.reshape(h, w, 3)
@@ -271,6 +278,7 @@ def resize_images(
     out_w: int,
     out_h: int,
     media_type: str = "image",
+    media_type_col: str = "media_type",
     payload_col: str = "payload",
     resizer: Optional[Callable[[bytes, int, int], bytes]] = None,
 ) -> DataFrame:
@@ -280,13 +288,15 @@ def resize_images(
     through untouched. One malformed payload yields a NULL payload,
     never a dead Spark task (the engine's adversarial-input rule).
     If a `meta` struct column is present, its width/height are updated
-    Column-side for the resized rows."""
+    Column-side — only for rows whose resize actually PRODUCED a
+    payload (a failed resize leaves meta untouched beside its NULL
+    payload; metadata must never claim dimensions no payload has)."""
     fn = resizer or resize_ppm
 
     def resize_batches(it: Iterator) -> Iterator:
         for pdf in it:
             out_payloads = []
-            for mt, payload in zip(pdf["media_type"], pdf[payload_col]):
+            for mt, payload in zip(pdf[media_type_col], pdf[payload_col]):
                 if mt != media_type or payload is None:
                     out_payloads.append(payload)
                     continue
@@ -304,11 +314,14 @@ def resize_images(
         resize_batches, media.schema
     )
     if "meta" in resized.columns:
-        is_target = F.col("media_type") == F.lit(media_type)
+        # post-map payload: non-null exactly when the resize succeeded
+        resized_ok = (
+            F.col(media_type_col) == F.lit(media_type)
+        ) & F.col(payload_col).isNotNull()
         resized = resized.withColumn(
             "meta",
             F.when(
-                is_target,
+                resized_ok,
                 F.col("meta")
                 .withField("width", F.lit(out_w).cast("int"))
                 .withField("height", F.lit(out_h).cast("int")),

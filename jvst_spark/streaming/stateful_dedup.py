@@ -54,8 +54,6 @@ def streaming_duplicates(
     not by value size."""
 
     def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
         (doc,) = key
         n = state.get[0] if state.exists else 0
         out_counts = []
@@ -65,9 +63,15 @@ def streaming_duplicates(
                 if n >= 2:
                     out_counts.append(n)
         state.update((n,))
-        yield pd.DataFrame(
-            {"doc_id": [doc] * len(out_counts), "n_seen": out_counts}
-        )
+        # first arrivals — the dominant case in a dedup workload —
+        # yield NOTHING: constructing + Arrow-shipping an empty
+        # DataFrame per key would tax exactly the hot path
+        if out_counts:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"doc_id": [doc] * len(out_counts), "n_seen": out_counts}
+            )
 
     grouped = stream_df.select(
         F.col(id_col).cast("string").alias("doc_id")

@@ -952,6 +952,40 @@ class TestArrowRecursiveRefs:
         pyv = compile_python(spec.root, spec.defs)
         assert column == {i: bool(pyv(d)) for i, d in enumerate(docs)}
 
+    def test_dag_shared_dtype_two_self_refs_compiles_linear(self, spark):
+        """Review finding: a def with TWO self-ref properties over a
+        DAG-shared deep dtype (the same child StructType object reused
+        at every level) must compile via the (uri, dtype) memo — one
+        compile per level, not 2^depth ref paths (which would hang the
+        supports() probe)."""
+        from pyspark.sql.types import LongType, StructField
+        from pyspark.sql.types import StructType as ST
+
+        schema = {
+            "$ref": "#/definitions/node",
+            "definitions": {
+                "node": {
+                    "type": "object",
+                    "properties": {
+                        "v": {"type": "integer"},
+                        "next": {"$ref": "#/definitions/node"},
+                        "prev": {"$ref": "#/definitions/node"},
+                    },
+                }
+            },
+        }
+        spec = compile_schema(schema)
+        dt = ST([StructField("v", LongType())])
+        for _ in range(40):
+            dt = ST(
+                [
+                    StructField("v", LongType()),
+                    StructField("next", dt),
+                    StructField("prev", dt),
+                ]
+            )
+        assert supports(spec.root, dt, spec.defs)
+
     def test_non_narrowing_cycle_stays_unsupported(self, spark):
         from pyspark.sql.types import _parse_datatype_string
 

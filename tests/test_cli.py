@@ -107,3 +107,29 @@ def test_validate_max_ref_depth_cut(tmp_path):
                 str(deep))
     assert r.returncode == 1
     assert "$.next.next.next.next" in r.stderr
+
+
+def test_flag_errors_exit_2_not_traceback(tmp_path):
+    """Review finding: a missing/non-int --max-ref-depth value, a
+    duplicated flag, a dangling -o, and an unreadable document must
+    print a usage/IO error and exit 2 — never an unhandled
+    traceback."""
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"type": "integer"}))
+    doc = tmp_path / "doc.json"
+    doc.write_text("3")
+
+    r = run_cli("validate", str(schema), "--max-ref-depth")
+    assert r.returncode == 2 and "usage:" in r.stderr
+    r = run_cli("validate", str(schema), "--max-ref-depth", "nope", str(doc))
+    assert r.returncode == 2 and "usage:" in r.stderr
+    # duplicated flag: both consumed, last wins, doc still validates
+    assert run_cli(
+        "validate", str(schema), "--max-ref-depth", "3",
+        "--max-ref-depth", "4", str(doc),
+    ).returncode == 0
+    r = run_cli("compile", str(schema), "-o")
+    assert r.returncode == 2 and "usage:" in r.stderr
+    r = run_cli("validate", str(schema), str(tmp_path / "missing.json"))
+    assert r.returncode == 2 and "missing.json" in r.stderr
+    assert "Traceback" not in r.stderr

@@ -633,6 +633,17 @@ class TestMultimodal:
         up = decode_ppm(resize_ppm(payload, 8, 2))
         # each source column twice: mean R = (0+0+10+10+20+20+30+30)/8
         assert up[:8] == [8.0, 2.0, 255.0, 15.0, 20.0, 30.0, 0.0, 30.0]
+        # review findings: 2-byte-per-sample (maxval > 255) and
+        # zero-dimension PPMs are REJECTED (ValueError, containable),
+        # never silently misdecoded / IndexError'd
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            resize_ppm(b"P6\n2 2\n65535\n" + bytes(24), 2, 2)
+        with _pytest.raises(ValueError):
+            resize_ppm(b"P6\n0 2\n255\n", 2, 2)
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
 
     def test_resize_images_plumbing(self, spark):
         """resize_images: image payloads re-emitted as valid resized
@@ -662,6 +673,9 @@ class TestMultimodal:
         assert out["good"]["meta"]["width"] == 8
         assert out["good"]["meta"]["height"] == 6
         assert out["bad"]["payload"] is None
+        # review finding: a FAILED resize must not claim the target
+        # dimensions in meta beside its NULL payload
+        assert out["bad"]["meta"]["width"] == 9
         assert bytes(out["audio"]["payload"]) == b"RIFFjunk"
         assert out["audio"]["meta"]["width"] == 9  # untouched
 
