@@ -621,3 +621,77 @@ def simhash_near_pairs(
     return cand.select(
         "doc_a", "doc_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair set ->
+    (doc_id, component_id), component_id = min doc_id in the
+    component. The "keep one per duplicate cluster" step that follows
+    pair generation in every dedup pipeline.
+
+    Algorithm: iterative min-label propagation. Each round pushes every
+    node's current label to its neighbors and takes the min
+    (one join + one map-side-combined groupBy per round = 2 shuffles),
+    stopping when a round changes no label. Rounds needed = the
+    diameter of the largest component — and banding-generated pair
+    sets are unions of per-bucket CLIQUES (lsh_candidate_pairs /
+    simhash_near_pairs emit all i<j within a bucket), so components
+    have tiny diameters (a doc shared between two buckets bridges two
+    cliques: diameter ~2-4) and propagation converges in a handful of
+    rounds at any corpus size. For general graphs with long chains use
+    star-contraction (alternating large-star/small-star, O(log n)
+    rounds) — not needed for banding output.
+
+    Scale notes: per-round state is one (id, lbl) row per node —
+    O(nodes in any pair), far smaller than the corpus. localCheckpoint
+    cuts the growing lineage each round (without it round k replays
+    rounds 1..k-1; a cluster deployment with executor loss tolerance
+    would use checkpoint() against a reliable dir instead). The
+    convergence count rides the same materialization, one tiny agg
+    job per round.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "u"), "u"
+        ).select(F.col("v").alias("id"), "lbl")
+        new = (
+            msgs.union(labels)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        cmp = (
+            new.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "id")
+            .localCheckpoint()
+        )
+        changed = cmp.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = cmp.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    else:
+        logger.warning(
+            "near_dup_components: no fixpoint after %d rounds "
+            "(component diameter exceeds the banding-clique "
+            "assumption); labels are an upper approximation",
+            max_iter,
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("component_id")
+    )

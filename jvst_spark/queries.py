@@ -1317,21 +1317,27 @@ pair AS (SELECT doc_a, doc_b, a.sh AS sh_a, b.sh AS sh_b
 """
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-WITH raw AS ({_DUP_CORPUS_SQL}),
+# shared between dedup_minhash_lsh and dedup_components (the
+# components oracle closes over the SAME verified pair set)
+_LSH_CTES = f"""raw AS ({_DUP_CORPUS_SQL}),
 corpus AS (SELECT min(doc_id) AS doc_id, min(text) AS text
            FROM raw GROUP BY md5(text)),
-{_minhash_sql(cap=1024)}
-SELECT doc_a, doc_b,
+{_minhash_sql(cap=1024)}"""
+_LSH_VERIFIED_SELECT = """SELECT doc_a, doc_b,
        round(len(list_intersect(sh_a, sh_b))
              / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
          AS jaccard
 FROM pair
 WHERE round(len(list_intersect(sh_a, sh_b))
             / greatest(len(list_distinct(list_concat(sh_a, sh_b))), 1), 6)
-      >= 0.7
+      >= 0.7"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_LSH_CTES}
+{_LSH_VERIFIED_SELECT}
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,6 +1352,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvst_spark.ops.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_dup_corpus(spark, sf_dir), threshold=0.7)
+
+
+@query(
+    "dedup_components",
+    # connected components over the verified LSH pairs: the DuckDB
+    # oracle computes the exact transitive closure (recursive CTE) and
+    # labels each node with the min reachable doc_id — the same
+    # min-label fixpoint the Spark propagation converges to
+    f"""
+WITH RECURSIVE {_LSH_CTES},
+verified AS ({_LSH_VERIFIED_SELECT}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+          UNION SELECT doc_b, doc_a FROM verified),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component_id
+FROM reach GROUP BY u
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster ids from the verified near-dup pairs
+    (iterative min-label propagation; banding pairs are per-bucket
+    cliques, so diameters are tiny and the fixpoint lands in a few
+    2-shuffle rounds). component_id = min doc_id of the cluster — the
+    canonical 'keep one representative per cluster' key."""
+    from jvst_spark.ops.dedup import minhash_lsh_dedup, near_dup_components
+
+    pairs = minhash_lsh_dedup(_dup_corpus(spark, sf_dir), threshold=0.7)
+    return near_dup_components(pairs)
 
 
 @query(

@@ -213,6 +213,47 @@ class TestDedup:
         )
 
 
+    def test_near_dup_components_fixpoint(self, spark):
+        """Min-label propagation on two bridged cliques + a chain +
+        an isolated pair: every node labeled with the min doc_id of
+        its component; nodes outside any pair don't appear (they are
+        their own singleton cluster by definition)."""
+        from jvst_spark.ops.dedup import near_dup_components
+
+        pairs = [
+            # clique {1,2,3} bridged to clique {3,4,5} via 3
+            (1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5),
+            # chain 10-11-12-13 (diameter 3: needs >1 round)
+            (10, 11), (11, 12), (12, 13),
+            # isolated pair
+            (20, 21),
+        ]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in near_dup_components(df).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20,
+        }
+
+    def test_near_dup_components_reversed_edge_order(self, spark):
+        """Labels must flow against edge direction too (the min id can
+        sit at the 'b' end of every pair)."""
+        from jvst_spark.ops.dedup import near_dup_components
+
+        df = spark.createDataFrame(
+            [(5, 1), (4, 5), (3, 4)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in near_dup_components(df).collect()
+        }
+        assert got == {1: 1, 3: 1, 4: 1, 5: 1}
+
+
 class TestSimilarity:
     def test_blocked_gemm_multi_block_matches_exact(self, spark, emb):
         """The distributed block-pair GEMM with B>1 (the 100 TB shape:
