@@ -72,6 +72,7 @@ class CheckpointedValidation:
         n_buckets: int = 16,
         id_col: str = "doc_id",
         engine: str = "column",
+        bucket_expr=None,
     ):
         if engine not in ("column", "arrow"):
             raise ValueError(f"engine must be column|arrow, got {engine!r}")
@@ -79,6 +80,17 @@ class CheckpointedValidation:
         self.out_dir = out_dir
         self.n_buckets = n_buckets
         self.id_col = id_col
+        # bucket_expr: optional Column-valued function of the id Column
+        # producing an int in [0, n_buckets). Default xxhash64 pmod is
+        # the production choice (uniform over arbitrary ids); callers
+        # that need an EXTERNALLY REPLAYABLE bucket key (the resume
+        # oracle replays bucketing in DuckDB, where xxhash64 doesn't
+        # exist) inject their own deterministic expression. The resume
+        # contract is unchanged either way: same doc -> same bucket
+        # across restarts and cluster sizes.
+        self._bucket_of = bucket_expr or (
+            lambda c: F.pmod(F.xxhash64(c), self.n_buckets)
+        )
         # 'arrow' runs the resumable pass through the kernel backend —
         # row-identical output (parity pinned in test_arrow_backend),
         # ~1.4x faster full validation on this host. Manifests don't
@@ -141,9 +153,7 @@ class CheckpointedValidation:
             # written partitionBy("bucket") in a single job; dynamic
             # partition overwrite leaves completed buckets' output
             # untouched on partial resume.
-            bucket_col = F.pmod(
-                F.xxhash64(F.col(self.id_col)), self.n_buckets
-            )
+            bucket_col = self._bucket_of(F.col(self.id_col))
             part = df
             if len(pending) < self.n_buckets:
                 part = part.filter(bucket_col.isin(pending))
@@ -169,8 +179,7 @@ class CheckpointedValidation:
                 if os.path.isdir(slice_dir):
                     shutil.rmtree(slice_dir)
             frame = res.frame.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64(F.col("doc_id")), self.n_buckets),
+                "bucket", self._bucket_of(F.col(self.id_col))
             )
             (
                 frame.write.mode("overwrite")

@@ -188,6 +188,74 @@ def val_flagship_metrics_by_bucket(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "val_resume_metrics",
+    # the oracle recomputes every bucket's metrics directly; `resumed`
+    # pins the RESUME CONTRACT itself — buckets 0-2 were completed by
+    # the first (interrupted) run, so the restart must serve them from
+    # manifests (skipped=true). A broken resume (recompute or stale
+    # skip) flips that column and fails the hash.
+    f"""
+WITH spans_tbl AS ({SPANS_SQL}),
+vio AS ({_VIOLATIONS_SQL}),
+vb AS (SELECT TRY_CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket,
+              count(*) AS nv
+       FROM vio GROUP BY 1),
+db AS (SELECT TRY_CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket,
+              count(*) AS n_docs,
+              count(*) FILTER (WHERE {FLAGSHIP_VALID_SQL}) AS n_valid
+       FROM spans_tbl GROUP BY 1)
+SELECT db.bucket, db.n_docs, db.n_valid,
+       coalesce(vb.nv, 0) AS n_violations,
+       db.bucket IN (0, 1, 2) AS resumed
+FROM db LEFT JOIN vb USING (bucket)
+""",
+)
+def val_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed resumable validation (north rule: "resumable from
+    checkpoint with per-partition lineage + metrics") replayed end-to-
+    end: run the flagship validation interrupted after 3 of 8 buckets,
+    restart with a FRESH CheckpointedValidation (new process
+    semantics — only the on-disk manifests carry state across), and
+    return the per-bucket metrics the restart reports. jvst's JVST_MORE
+    incremental resume (src/validate.h:9) is per-document; the table-
+    scale unit is the bucket manifest (io/manifest.py). The bucket key
+    here is the doc-id suffix % 8 (injected via bucket_expr) so DuckDB
+    can replay the bucketing; production default stays xxhash64."""
+    import shutil
+    import tempfile
+
+    from jvst_spark.io.manifest import CheckpointedValidation
+
+    df = spans_from_documents(spark, sf_dir)
+    fingerprint = f"{sf_dir}:documents:flagship"
+
+    def bucket_of(c):
+        return (F.substring(c, 5, 12).cast("bigint") % 8).cast("bigint")
+
+    out = tempfile.mkdtemp(prefix="jvst_resume_")
+    try:
+        first = CheckpointedValidation(
+            _flagship_plan(), out, n_buckets=8, bucket_expr=bucket_of
+        )
+        first.run(df, fingerprint, buckets=[0, 1, 2])  # "crash" here
+        restart = CheckpointedValidation(
+            _flagship_plan(), out, n_buckets=8, bucket_expr=bucket_of
+        )
+        results = restart.run(df, fingerprint)
+        rows = [
+            (r.bucket, r.n_docs, r.n_valid, r.n_violations, r.skipped)
+            for r in results
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket bigint, n_docs bigint, n_valid bigint, "
+        "n_violations bigint, resumed boolean",
+    )
+
+
+@query(
     "val_spans_unique",
     # DuckDB can't list_distinct struct lists; serialize each span with
     # the same equivalence classes as canon_expr (null field = absent,
@@ -1002,9 +1070,73 @@ def tbl_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_statistic(cur, base).select(F.round("ks", 6).alias("ks"))
 
 
+@query(
+    "tbl_drift_emb",
+    # per-dimension PSI between the label=0 slice and the rest of the
+    # embeddings table. All mass arithmetic runs on exact integer bin
+    # counts, so the per-dim sums are deterministic at any parallelism.
+    """
+WITH e AS (SELECT label, CAST(i AS INT) AS dim,
+                  CAST(embedding[i + 1] AS DOUBLE) AS v
+           FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+cur AS (SELECT dim, CAST(floor(v / 0.05) AS INT) AS bin, count(*) AS n
+        FROM e WHERE label = 0 GROUP BY 1, 2),
+base AS (SELECT dim, CAST(floor(v / 0.05) AS INT) AS bin, count(*) AS n
+         FROM e WHERE label <> 0 GROUP BY 1, 2),
+cm AS (SELECT dim, bin, n / SUM(n) OVER (PARTITION BY dim) AS p FROM cur),
+bm AS (SELECT dim, bin, n / SUM(n) OVER (PARTITION BY dim) AS p FROM base),
+j AS (SELECT coalesce(cm.dim, bm.dim) AS dim,
+             coalesce(cm.p, 0.0) + 1e-6 AS p,
+             coalesce(bm.p, 0.0) + 1e-6 AS q
+      FROM cm FULL OUTER JOIN bm ON cm.dim = bm.dim AND cm.bin = bm.bin)
+SELECT dim, round(SUM((p - q) * ln(p / q)), 6) AS psi
+FROM j GROUP BY dim
+""",
+)
+def tbl_drift_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift over the EMBEDDINGS payload: per-dimension
+    PSI between two corpus slices (a fine-tuned encoder shifts a few
+    components long before any scalar column moves). One
+    posexplode->partial-agg pass per slice; the shuffle carries only
+    (dim x bins) rows."""
+    from jvst_spark.table_checks.drift import embedding_psi
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_psi(
+        emb.filter("label = 0"), emb.filter("label <> 0"), "embedding"
+    ).select("dim", F.round("psi", 6).alias("psi"))
+
+
 # ---------------------------------------------------------------------
 # column statistics (north rule: "column stats")
 # ---------------------------------------------------------------------
+
+
+@query(
+    "stats_topk_values",
+    """
+WITH c AS (SELECT p_brand, count(*) AS n FROM part GROUP BY 1),
+r AS (SELECT p_brand, n,
+             row_number() OVER (ORDER BY n DESC, p_brand) AS rnk
+      FROM c)
+SELECT p_brand, n, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
+""",
+)
+def stats_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact top-5 most frequent values of a column
+    (count desc, value asc tie-break — deterministic). The groupBy
+    shrinks the corpus to |distinct values| rows before the single-
+    partition ordering window, so the window never sees data-sized
+    input; at 100 TB swap the exact count for a count-min sketch only
+    if |distinct| itself explodes."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    counts = part.groupBy("p_brand").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("p_brand"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("p_brand", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
 
 
 @query(

@@ -76,6 +76,59 @@ def ks_statistic(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame
     return cdf.agg(F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"))
 
 
+def embedding_histogram(
+    df: DataFrame, vec_col: str, bin_width: float
+) -> DataFrame:
+    """Per-dimension binned counts over every vector component:
+    (dim int, bin int, n long). posexplode multiplies rows by the
+    vector width d, but the explode feeds straight into a partial
+    aggregation — the shuffle carries only (dim x bins) rows, never
+    the exploded data."""
+    e = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    b = F.floor(F.col("v").cast("double") / F.lit(bin_width)).cast("int")
+    return e.groupBy("dim", b.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def embedding_psi(
+    current: DataFrame,
+    baseline: DataFrame,
+    vec_col: str,
+    bin_width: float = 0.05,
+) -> DataFrame:
+    """Per-dimension PSI between two embedding slices: (dim, psi).
+
+    The scalar drift checks watch one column; embeddings drift
+    per-DIMENSION (a fine-tuned encoder shifts a few components long
+    before the norm moves). Same epsilon-smoothed PSI as `psi`, keyed
+    by component index. All mass math happens on exact integer bin
+    counts (order-independent), so the result is deterministic at any
+    parallelism — unlike a mean-vector comparison, whose float sums
+    reorder under shuffle. Cost at 100 TB: two explode->partial-agg
+    scans; everything after is (d x bins)-row arithmetic."""
+    wd = Window.partitionBy("dim")
+
+    def masses(df_: DataFrame, out: str) -> DataFrame:
+        h = embedding_histogram(df_, vec_col, bin_width)
+        return h.select(
+            "dim", "bin", (F.col("n") / F.sum("n").over(wd)).alias(out)
+        )
+
+    j = (
+        masses(current, "p_cur")
+        .join(masses(baseline, "p_base"), ["dim", "bin"], "full_outer")
+        .select(
+            "dim",
+            (F.coalesce("p_cur", F.lit(0.0)) + F.lit(EPS)).alias("p"),
+            (F.coalesce("p_base", F.lit(0.0)) + F.lit(EPS)).alias("q"),
+        )
+    )
+    return j.groupBy("dim").agg(
+        F.sum(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+        ).alias("psi")
+    )
+
+
 def baseline_from_df(
     df: DataFrame, cols_widths: dict, lo: float = 0.0
 ) -> DataFrame:

@@ -7,6 +7,8 @@ from jvst_spark.table_checks.drift import (
     baseline_from_df,
     drift_report,
     drift_vs_baseline,
+    embedding_histogram,
+    embedding_psi,
     histogram,
     ks_statistic,
     psi,
@@ -62,3 +64,65 @@ class TestStoredBaseline:
         shifted = events.withColumn("value", F.col("value") * 3.0)
         rep = drift_vs_baseline(shifted, stored, {"value": 25.0}).collect()[0]
         assert rep["drifted"]
+
+
+class TestEmbeddingDrift:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+    def test_histogram_shape_and_mass(self, spark, emb):
+        dim = len(emb.first()["embedding"])
+        n_rows = emb.filter("embedding IS NOT NULL").count()
+        h = embedding_histogram(emb, "embedding", 0.05)
+        assert set(h.columns) == {"dim", "bin", "n"}
+        per_dim = {
+            r["dim"]: r["tot"]
+            for r in h.groupBy("dim").agg(F.sum("n").alias("tot")).collect()
+        }
+        # every component of every vector lands in exactly one bin
+        assert set(per_dim) == set(range(dim))
+        assert all(v == n_rows for v in per_dim.values())
+
+    def test_self_drift_is_zero_per_dim(self, spark, emb):
+        res = embedding_psi(emb, emb, "embedding").collect()
+        assert res and all(abs(r["psi"]) < 1e-9 for r in res)
+
+    def test_shifted_dimension_drifts_alone(self, spark, emb):
+        # shift ONLY component 0 by +0.5: dim 0 must light up, the
+        # untouched dims must stay flat (the per-dimension point)
+        shifted = emb.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda v, i: F.when(i == 0, v + F.lit(0.5)).otherwise(v),
+            ),
+        )
+        res = {r["dim"]: r["psi"] for r in
+               embedding_psi(shifted, emb, "embedding").collect()}
+        assert res[0] > 1.0
+        assert all(abs(p) < 1e-9 for d, p in res.items() if d != 0)
+
+    def test_split_halves_vs_real_shift(self, spark, emb):
+        # two random halves of the same corpus carry only sampling
+        # noise; a genuinely shifted component must stand far above
+        # it. Wide bins (0.25) keep the per-bin counts meaningful at
+        # this fixture's 250-vectors-per-half size.
+        a = emb.filter("vec_id % 2 = 0")
+        b = emb.filter("vec_id % 2 = 1")
+        noise = max(
+            r["psi"]
+            for r in embedding_psi(a, b, "embedding", 0.25).collect()
+        )
+        shifted = a.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda v, i: F.when(i == 0, v + F.lit(0.5)).otherwise(v),
+            ),
+        )
+        drifted = {
+            r["dim"]: r["psi"]
+            for r in embedding_psi(shifted, a, "embedding", 0.25).collect()
+        }
+        assert drifted[0] > 5 * noise

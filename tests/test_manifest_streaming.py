@@ -111,6 +111,48 @@ class TestCheckpointedValidation:
         out = spark.read.parquet(os.path.join(str(tmp_path), "verdicts"))
         assert out.count() == sum(b.n_docs for b in r)
 
+    def test_custom_bucket_expr(self, spark, plan, tmp_path):
+        """An injected bucket expression (round-5: the resume oracle
+        replays bucketing in DuckDB, where xxhash64 doesn't exist)
+        drives partitioning, filtering, and manifests consistently:
+        partial run + restart skips exactly the completed buckets, and
+        each manifest's metrics equal a direct per-bucket aggregate
+        under the SAME key."""
+        df = spans_from_documents(spark, SF_DIR)
+
+        def bucket_of(c):
+            return (F.substring(c, 5, 12).cast("bigint") % 4).cast(
+                "bigint"
+            )
+
+        ck = CheckpointedValidation(
+            plan, str(tmp_path), n_buckets=4, bucket_expr=bucket_of
+        )
+        ck.run(df, input_fingerprint="fp-1", buckets=[1, 3])
+        ck2 = CheckpointedValidation(
+            plan, str(tmp_path), n_buckets=4, bucket_expr=bucket_of
+        )
+        r = ck2.run(df, input_fingerprint="fp-1")
+        assert [b.skipped for b in r] == [False, True, False, True]
+        # manifests match a direct aggregation keyed the same way
+        direct = {
+            row["b"]: (row["n"], row["v"])
+            for row in plan.apply_typed(df)
+            .frame.groupBy(bucket_of(F.col("doc_id")).alias("b"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("valid").cast("long")).alias("v"),
+            )
+            .collect()
+        }
+        for b in r:
+            assert (b.n_docs, b.n_valid) == direct[b.bucket]
+        # on-disk slices are keyed by the injected expression too
+        for b in range(4):
+            assert os.path.isdir(
+                os.path.join(str(tmp_path), "verdicts", f"bucket={b}")
+            )
+
     def test_all_buckets_empty_first_run(self, spark, plan, tmp_path):
         """A first run over an empty input writes no data files; the
         stats aggregation must be skipped, not crash with 'Unable to
