@@ -1175,6 +1175,75 @@ def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_totalprice").unionAll(prof("o_custkey"))
 
 
+@query(
+    "stats_quantiles_orders",
+    """
+WITH q AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p,
+                  unnest(quantile_cont(o_totalprice,
+                                       [0.1, 0.25, 0.5, 0.75, 0.9])) AS v
+           FROM orders)
+SELECT CAST(p AS DOUBLE) AS p, round(v, 6) AS v FROM q
+""",
+)
+def stats_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of a column (one row per
+    requested quantile). Exact so the oracle can match (Spark and
+    DuckDB share the (n-1)*p interpolation definition; they differ by
+    ~1 ulp, absorbed by the 6-dp round). At 100 TB swap for
+    approx_percentile (t-digest, fixed memory per partition) — exact
+    percentile keeps a per-partition value map, which only works while
+    |distinct| stays bounded."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    arr = ", ".join(str(p) for p in ps)
+    vs = o.agg(
+        F.expr(f"percentile(o_totalprice, array({arr}))").alias("vs")
+    )
+    p_arr = F.array(*[F.lit(p) for p in ps])
+    return vs.select(F.posexplode("vs").alias("i", "v")).select(
+        F.element_at(p_arr, F.col("i") + 1).alias("p"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+@query(
+    "events_sessionize",
+    # gap math in exact integer microseconds on both engines; ties
+    # broken by event_id so the within-user order is total
+    """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+g AS (SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id)
+                       > 43200000000 THEN 1 ELSE 0 END AS new_s
+      FROM e),
+s AS (SELECT user_id, us,
+             CAST(1 + SUM(new_s) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS BIGINT)
+               AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM s GROUP BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12-hour inactivity threshold — the
+    fixture's per-user event spacing is ~6h, so sessions genuinely
+    merge AND split) with a
+    per-session rollup — the canonical shuffle-by-entity windowed
+    operator a behavioral training corpus needs before feature
+    extraction. One exchange keyed by user; boundary decisions in
+    exact integer microseconds (ops/sessions.py)."""
+    from jvst_spark.ops.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    return session_stats(ev, gap_s=43200, tie_cols=("event_id",))
+
+
 # ---------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------
