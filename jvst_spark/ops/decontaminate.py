@@ -1,0 +1,93 @@
+"""Benchmark decontamination: flag training documents whose word
+k-gram shingles overlap an evaluation/benchmark set.
+
+The standard LLM training-data hygiene step (GPT-3 appendix C /
+PaLM-style n-gram collision checks): any training document sharing
+too many k-grams with a benchmark document leaks the benchmark.
+
+Scale story (the 100 TB shape):
+- the benchmark side is tiny relative to the corpus (eval suites are
+  thousands of documents, the corpus is billions) — its distinct
+  shingle set builds in one small-side aggregation and BROADCASTS;
+- the corpus is scanned ONCE; shingling is a per-row Column
+  expression (no UDF), and the per-doc shingle count rides along the
+  explode so totals never need a second corpus pass or a corpus-wide
+  join;
+- only (doc_id, gram) rows that HIT the broadcast benchmark set
+  survive into the per-doc aggregation, so the one shuffle is bounded
+  by the contamination volume, not the corpus size. Clean corpora
+  shuffle almost nothing.
+
+Output contract: one row per document with >= 1 matching shingle
+(documents with zero overlap are by definition uncontaminated and are
+not materialized — at corpus scale that is the only sane contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jvst_spark.ops.text import tokens, word_shingles
+
+
+def benchmark_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document k-gram overlap against the benchmark shingle set.
+
+    Returns (doc_id, n_grams, n_matched, overlap_frac, contaminated)
+    for every corpus document sharing at least one distinct k-gram
+    with any benchmark document. overlap_frac is measured against the
+    document's own distinct-shingle count (containment, not Jaccard:
+    a short benchmark prompt embedded in a long page must still
+    flag the page's grams that leak, independent of page length).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(tokens(F.col(text_col)), k)).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+
+    # let-bind the shingle array so its size and its explode are the
+    # SAME evaluation (CollapseProject would otherwise inline the
+    # shingle build into both references)
+    packed = F.element_at(
+        F.transform(
+            F.array(word_shingles(tokens(F.col(text_col)), k)),
+            lambda g: F.struct(
+                F.size(g).alias("n_grams"), g.alias("grams")
+            ),
+        ),
+        1,
+    )
+    exploded = corpus.select(
+        "doc_id", packed["n_grams"].alias("n_grams"),
+        F.explode(packed["grams"]).alias("gram"),
+    )
+
+    matched = (
+        exploded.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    frac = F.round(
+        F.col("n_matched") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+    )
+    return matched.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(float(threshold))).alias("contaminated"),
+    )

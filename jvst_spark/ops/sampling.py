@@ -1,0 +1,92 @@
+"""Deterministic sampling and mixture curation for training-data
+pipelines.
+
+Why not rand(seed): Spark's rand() is seeded PER PARTITION — the kept
+set changes with parallelism, input splits, and AQE coalescing, so a
+rerun on a different cluster keeps different rows. Every sampler here
+derives its coin from md5 of a stable row key instead: the same row
+is kept or dropped on 8 cores, 1000 executors, or in the DuckDB
+oracle, and resuming a partially-written sample is idempotent.
+
+Scale story: hash sampling is a pure per-row filter (no shuffle, no
+state); stratified top-k pre-prunes per salt group so a
+low-cardinality stratum column (lang, source — a handful of values
+over billions of rows) never concentrates a whole stratum on one
+reducer.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform [0,1) from the first 32 bits of
+    md5(string(key)) — engine-portable (identical digits in the DuckDB
+    oracle) and independent of partitioning, unlike rand(seed)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with probability rates[stratum] (default_rate for
+    unlisted strata), decided by the deterministic hash coin on
+    key_col. Exact per-row reproducibility at any parallelism; the
+    plan is a single Filter over the scan (no shuffle, columns prune).
+    """
+    rate_expr: Column = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(float(rate))
+        ).otherwise(rate_expr)
+    return df.where(hash_uniform(F.col(key_col)) < rate_expr)
+
+
+def topk_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    k: int,
+    tiebreak_col: str = "doc_id",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Top-k rows per stratum by score (ties broken by tiebreak_col
+    ascending, so the result is a total order and exactly
+    reproducible).
+
+    Two-phase: a local top-k per (salt, stratum) — salt = hash of the
+    tiebreak key mod n_salts, deterministic — bounds the final
+    per-stratum window to k * n_salts candidate rows. A global top-k
+    element is by construction in its salt group's local top-k, so the
+    result equals the single-window answer while the heavy first pass
+    spreads each stratum over n_salts reducers instead of one. With a
+    handful of strata over billions of rows, the naive single window
+    puts ~1/n_strata of the corpus on one task; this caps it at
+    corpus/(n_strata*n_salts).
+
+    Returns the input columns plus `rank` (1-based within stratum).
+    """
+    order = [F.col(score_col).desc(), F.col(tiebreak_col).asc()]
+    salt = F.pmod(F.hash(F.col(tiebreak_col)), F.lit(int(n_salts)))
+    local = Window.partitionBy(salt, F.col(stratum_col)).orderBy(*order)
+    pruned = (
+        df.withColumn("_lrk", F.row_number().over(local))
+        .where(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    final = Window.partitionBy(stratum_col).orderBy(*order)
+    return pruned.withColumn(
+        "rank", F.row_number().over(final)
+    ).where(F.col("rank") <= k)

@@ -54,11 +54,16 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """Heuristic document quality in [0,1]:
     0.4 * min(n_tokens/50, 1)           (enough content)
     + 0.3 * distinct_ratio              (not degenerate repetition)
     + 0.3 * stopword_ratio * 5 capped   (natural-language-ness)
+
+    extra_cols: passthrough columns to keep beside (doc_id, quality) —
+    lets mixture/curation stages score without a join back.
     """
     t = tokens(F.col(text_col))
     n = F.greatest(F.size(t), F.lit(1))
@@ -70,7 +75,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.size(F.array_distinct(t)) / n)
         + F.lit(0.3) * F.least(stop_hits * F.lit(5.0) / n, F.lit(1.0))
     )
-    return df.select("doc_id", F.round(score, 6).alias("quality"))
+    return df.select(
+        "doc_id", *extra_cols, F.round(score, 6).alias("quality")
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,6 +130,131 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.size(bpe) / F.greatest(F.size(t), F.lit(1)), 6
         ).alias("bpe_per_word"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    standard web-corpus quality gates): per document,
+
+      top_bigram_share  — fraction of bigram positions occupied by the
+                          single most frequent token bigram
+      dup_trigram_frac  — fraction of trigram positions whose trigram
+                          occurs more than once (1 - distinct/total)
+
+    Both pure Column expressions, shuffle-free and linear per row: the
+    most-frequent-bigram count folds once over the SORTED bigram array
+    (longest equal run == max multiplicity) instead of exploding into
+    a per-doc groupBy, so the corpus never shuffles.
+
+    Returns (doc_id, n_bigrams, top_bigram_share, dup_trigram_frac)."""
+    t = tokens(F.col(text_col))
+
+    def over_tokens(tk: Column) -> Column:
+        n = F.size(tk)
+
+        def grams(k: int) -> Column:
+            # positional k-grams (NOT distinct — multiplicity is the
+            # point); sequence() descends when start > stop, so short
+            # docs need the explicit empty-array arm
+            return F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        def over_bigrams(bg: Column) -> Column:
+            # longest equal run in the sorted array = max multiplicity
+            def step(acc: Column, x: Column) -> Column:
+                run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1)
+                )
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run).alias("best"),
+                )
+
+            top = F.aggregate(
+                F.array_sort(bg),
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                step,
+                lambda acc: acc["best"],
+            )
+            return F.struct(
+                F.size(bg).alias("nb"),
+                F.round(
+                    top / F.greatest(F.size(bg), F.lit(1)), 6
+                ).alias("share"),
+            )
+
+        def over_trigrams(tg: Column) -> Column:
+            return F.when(
+                F.size(tg) == 0, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(tg)) / F.size(tg),
+                    6,
+                )
+            )
+
+        # let-bind each gram array (transform-over-singleton) so the
+        # O(n*k) gram build evaluates once per use site, not once per
+        # reference inside collapsed projections
+        bstats = F.element_at(
+            F.transform(F.array(grams(2)), over_bigrams), 1
+        )
+        dupfrac = F.element_at(
+            F.transform(F.array(grams(3)), over_trigrams), 1
+        )
+        return F.struct(
+            bstats["nb"].alias("n_bigrams"),
+            bstats["share"].alias("top_bigram_share"),
+            dupfrac.alias("dup_trigram_frac"),
+        )
+
+    packed = F.element_at(F.transform(F.array(t), over_tokens), 1)
+    return df.select(
+        "doc_id",
+        packed["n_bigrams"].alias("n_bigrams"),
+        packed["top_bigram_share"].alias("top_bigram_share"),
+        packed["dup_trigram_frac"].alias("dup_trigram_frac"),
+    )
+
+
+# PII detectors rendered in the Java-regex/RE2 common subset (same
+# discipline as BPE_TOKEN_RE): simple character classes + bounded
+# repetition only, so Spark and the DuckDB oracle count identically.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE_RE = "\\+[0-9]{7,13}"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts (email / IPv4 / E.164-ish phone)
+    — the redaction-pipeline pre-scan. One JVM regexp_count pass per
+    pattern, shuffle-free; whole-stage codegen's subexpression
+    elimination shares each count between its output column and the
+    has_pii disjunction.
+
+    Returns (doc_id, n_emails, n_ipv4, n_phones, has_pii)."""
+    txt = F.col(text_col)
+    n_email = F.regexp_count(txt, F.lit(PII_EMAIL_RE))
+    n_ipv4 = F.regexp_count(txt, F.lit(PII_IPV4_RE))
+    n_phone = F.regexp_count(txt, F.lit(PII_PHONE_RE))
+    return df.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phone.alias("n_phones"),
+        ((n_email + n_ipv4 + n_phone) > 0).alias("has_pii"),
     )
 
 

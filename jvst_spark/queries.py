@@ -2082,6 +2082,236 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# corpus curation: repetition gates, PII scan, benchmark
+# decontamination, deterministic sampling, mixture top-k
+# ---------------------------------------------------------------------
+
+@query(
+    "text_repetition",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+             i -> tk[i] || ' ' || tk[i+1])
+             ELSE CAST([] AS VARCHAR[]) END AS bg,
+        CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             ELSE CAST([] AS VARCHAR[]) END AS tg
+      FROM toks),
+bc AS (SELECT doc_id, max(c) AS top FROM (
+         SELECT doc_id, b, count(*) AS c
+         FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b)
+       GROUP BY doc_id)
+SELECT g.doc_id,
+       len(g.bg) AS n_bigrams,
+       round(coalesce(bc.top, 0) / greatest(len(g.bg), 1), 6)
+         AS top_bigram_share,
+       round(CASE WHEN len(g.tg) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(g.tg)) / CAST(len(g.tg) AS DOUBLE)
+             END, 6) AS dup_trigram_frac
+FROM g LEFT JOIN bc ON g.doc_id = bc.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates — shuffle-free Column
+    fold (sorted-run max == bigram mode) vs the oracle's per-doc
+    explode+groupBy; same numbers, no corpus shuffle."""
+    from jvst_spark.ops.text import repetition_stats
+
+    return repetition_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+# deterministic PII injection: the synthetic corpus is clean word
+# soup, so the query plants email/IPv4/phone spans on a known id
+# lattice (same expression on both sides) — the detector must find
+# exactly those and nothing else
+_PII_AUG_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || (doc_id % 100)
+          || '@mail' || (doc_id % 5) || '.com' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || (doc_id % 256)
+          || '.0.' || (doc_id % 100) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' call +1415555'
+          || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+@query(
+    "text_pii_scan",
+    f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+  len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+'))
+    AS n_emails,
+  len(regexp_extract_all(text,
+      '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+    AS n_ipv4,
+  len(regexp_extract_all(text, '\\+[0-9]{{7,13}}')) AS n_phones,
+  (len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+'))
+   + len(regexp_extract_all(text,
+       '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+   + len(regexp_extract_all(text, '\\+[0-9]{{7,13}}'))) > 0 AS has_pii
+FROM aug
+""",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-scan (emails / IPv4 / phone numbers) over the
+    deterministically-augmented corpus — JVM regexp_count, no UDF."""
+    from jvst_spark.ops.text import pii_scan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), (did % 100).cast("string"),
+                F.lit("@mail"), (did % 5).cast("string"), F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call +1415555"),
+                F.lpad((did % 1000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scan(d.select("doc_id", aug.alias("text")))
+
+
+# decontamination corpus: benchmark = every 97th document; the corpus
+# is everything else PLUS a leaked near-copy of each benchmark doc
+# (last 5 words dropped, ids at +3,000,000) — the leaks must flag,
+# unrelated docs must not
+_SHINGLES5_SQL = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(tk) - 5, 0) + 1), "
+    "i -> array_to_string(list_slice(tk, i + 1, i + 5), ' ')))"
+)
+
+_DECON_CORPUS_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+UNION ALL
+SELECT doc_id + 3000000,
+       array_to_string(list_slice(string_split(text, ' '), 1,
+         greatest(len(string_split(text, ' ')) - 5, 1)), ' ')
+FROM documents WHERE doc_id % 97 = 0
+"""
+
+
+@query(
+    "decontaminate_ngram",
+    f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+corpus AS ({_DECON_CORPUS_SQL}),
+bt AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM bench),
+bg AS (SELECT DISTINCT unnest(sh) AS gram
+       FROM (SELECT {_SHINGLES5_SQL} AS sh FROM bt)),
+ct AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+cg AS (SELECT doc_id, {_SHINGLES5_SQL} AS sh FROM ct),
+m AS (SELECT doc_id, max(n_grams) AS n_grams, count(*) AS n_matched
+      FROM (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram
+            FROM cg) e
+      JOIN bg USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_matched,
+       round(n_matched / greatest(n_grams, 1), 6) AS overlap_frac,
+       round(n_matched / greatest(n_grams, 1), 6) >= 0.5 AS contaminated
+FROM m
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram containment of every corpus
+    doc against the broadcast benchmark shingle set; one corpus scan,
+    shuffle bounded by contamination volume."""
+    from jvst_spark.ops.decontaminate import benchmark_ngram_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    words = F.split(F.col("text"), " ")
+    trunc = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1)))
+    )
+    leaks = bench.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), trunc.alias("text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionAll(leaks)
+    return benchmark_ngram_overlap(corpus, bench, k=5, threshold=0.5)
+
+
+@query(
+    "sample_stratified",
+    """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0
+      < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.6
+                    WHEN 'src2' THEN 0.35 WHEN 'src3' THEN 0.15
+                    ELSE 0.05 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hash sampling — deterministic at any parallelism
+    (md5 coin on doc_id, not partition-seeded rand); a single Filter
+    over the scan."""
+    from jvst_spark.ops.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_sample(
+        docs,
+        {"src0": 0.9, "src1": 0.6, "src2": 0.35, "src3": 0.15},
+        stratum_col="source",
+        default_rate=0.05,
+    )
+
+
+@query(
+    "mix_topk_quality",
+    f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents),
+q AS (SELECT doc_id, lang, round(
+    0.4 * least(len(tk) / 50.0, 1.0)
+  + 0.3 * (len(list_distinct(tk)) / greatest(len(tk), 1))
+  + 0.3 * least(len(list_filter(tk, t -> t IN {_STOPS_SQL})) * 5.0
+                / greatest(len(tk), 1), 1.0), 6) AS quality FROM toks),
+r AS (SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rank
+      FROM q)
+SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 5
+""",
+)
+def mix_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture curation: top-5 quality docs per language via the
+    salted two-phase top-k (no single-reducer stratum hotspot); equals
+    the oracle's single-window answer exactly."""
+    from jvst_spark.ops.sampling import topk_per_stratum
+    from jvst_spark.ops.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_score(docs, extra_cols=("lang",))
+    return topk_per_stratum(scored, "lang", "quality", 5).select(
+        "doc_id", "lang", "quality", "rank"
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

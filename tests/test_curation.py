@@ -1,0 +1,218 @@
+"""Corpus-curation operators: repetition gates, PII scan, benchmark
+decontamination, deterministic sampling, stratified top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+class TestRepetition:
+    def test_known_repetition_values(self, spark):
+        from jvst_spark.ops.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                # "a b a b a": bigrams [ab, ba, ab, ba] -> top share 2/4;
+                # trigrams [aba, bab, aba] -> 1 dup of 3 -> 1 - 2/3
+                (1, "a b a b a"),
+                # all-same token: every bigram/trigram identical
+                (2, "x x x x x x"),
+                # no repetition at all
+                (3, "one two three four five"),
+                # short docs: no bigrams / no trigrams
+                (4, "solo"),
+                (5, "two words"),
+                (6, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert out[1]["n_bigrams"] == 4
+        assert out[1]["top_bigram_share"] == 0.5
+        assert out[1]["dup_trigram_frac"] == round(1 - 2 / 3, 6)
+        assert out[2]["top_bigram_share"] == 1.0
+        assert out[2]["dup_trigram_frac"] == 0.75
+        assert out[3]["top_bigram_share"] == 0.25
+        assert out[3]["dup_trigram_frac"] == 0.0
+        for did in (4, 6):
+            assert out[did]["n_bigrams"] == 0
+            assert out[did]["top_bigram_share"] == 0.0
+            assert out[did]["dup_trigram_frac"] == 0.0
+        assert out[5]["n_bigrams"] == 1
+        assert out[5]["top_bigram_share"] == 1.0
+        assert out[5]["dup_trigram_frac"] == 0.0
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        from jvst_spark.ops.text import repetition_stats
+
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestPiiScan:
+    def test_counts_each_pattern(self, spark):
+        from jvst_spark.ops.text import pii_scan
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe@example.com or j2@a-b.org"),
+                (2, "server 192.168.0.1 and 10.0.0.255 up"),
+                (3, "call +4915112345678 now"),
+                (4, "nothing personal here"),
+                (5, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+        assert out[1]["n_emails"] == 2 and out[1]["has_pii"]
+        assert out[2]["n_ipv4"] == 2 and out[2]["has_pii"]
+        assert out[3]["n_phones"] == 1 and out[3]["has_pii"]
+        assert not out[4]["has_pii"] and not out[5]["has_pii"]
+        assert out[4]["n_emails"] == out[4]["n_ipv4"] == out[4]["n_phones"] == 0
+
+
+class TestDecontaminate:
+    def test_leak_flags_and_containment_math(self, spark):
+        from jvst_spark.ops.decontaminate import benchmark_ngram_overlap
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # full copy: every shingle matches -> frac 1.0
+                (1, "alpha beta gamma delta epsilon zeta eta"),
+                # embedded benchmark prefix inside a longer page
+                (2, "intro words here alpha beta gamma delta epsilon tail"),
+                # unrelated: zero overlap -> NOT in the output
+                (3, "one two three four five six seven eight nine"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in benchmark_ngram_overlap(
+                corpus, bench, k=5, threshold=0.5
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"]
+        # doc 2: 5 shingles, exactly one ("alpha beta gamma delta
+        # epsilon") is a benchmark shingle
+        assert out[2]["n_grams"] == 5
+        assert out[2]["n_matched"] == 1
+        assert out[2]["overlap_frac"] == 0.2
+        assert not out[2]["contaminated"]
+
+    def test_benchmark_side_is_broadcast(self, spark, docs):
+        from jvst_spark.ops.decontaminate import benchmark_ngram_overlap
+
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        plan = (
+            benchmark_ngram_overlap(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestSampling:
+    def test_deterministic_across_parallelism(self, spark):
+        from jvst_spark.ops.sampling import stratified_sample
+
+        base = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias(
+                "stratum"
+            ),
+        )
+        rates = {"s0": 0.5, "s1": 0.25}
+        kept1 = {
+            r["doc_id"]
+            for r in stratified_sample(
+                base.coalesce(1), rates, "stratum", default_rate=0.1
+            ).collect()
+        }
+        kept16 = {
+            r["doc_id"]
+            for r in stratified_sample(
+                base.repartition(16), rates, "stratum", default_rate=0.1
+            ).collect()
+        }
+        assert kept1 == kept16
+        # rates actually bite per stratum (binomial bounds, wide)
+        by = {"s0": 0, "s1": 0, "s2": 0}
+        for did in kept1:
+            by[f"s{did % 3}"] += 1
+        assert 267 < by["s0"] < 400  # ~333 at 50% of 667
+        assert 100 < by["s1"] < 233  # ~167 at 25%
+        assert 20 < by["s2"] < 133  # ~67 at 10%
+
+    def test_default_rate_zero_drops_unlisted(self, spark):
+        from jvst_spark.ops.sampling import stratified_sample
+
+        base = spark.createDataFrame(
+            [(i, "keep" if i % 2 == 0 else "drop") for i in range(100)],
+            ["doc_id", "stratum"],
+        )
+        out = stratified_sample(base, {"keep": 1.0}, "stratum").collect()
+        assert {r["stratum"] for r in out} == {"keep"}
+        assert len(out) == 50
+
+    def test_plan_is_single_filter_no_shuffle(self, spark, docs):
+        from jvst_spark.ops.sampling import stratified_sample
+
+        plan = (
+            stratified_sample(docs, {"x": 0.5}, "lang")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestTopkPerStratum:
+    def test_equals_naive_single_window(self, spark):
+        from pyspark.sql import Window
+
+        from jvst_spark.ops.sampling import topk_per_stratum
+
+        base = spark.range(0, 3000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("stratum"),
+            # heavy score ties to stress the tiebreak
+            ((F.col("id") * 37) % 11).cast("double").alias("score"),
+        )
+        got = sorted(
+            (r["stratum"], r["rank"], r["doc_id"])
+            for r in topk_per_stratum(
+                base, "stratum", "score", 10, n_salts=8
+            ).collect()
+        )
+        w = Window.partitionBy("stratum").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        want = sorted(
+            (r["stratum"], r["rank"], r["doc_id"])
+            for r in base.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .collect()
+        )
+        assert got == want
+
+    def test_k_larger_than_stratum(self, spark):
+        from jvst_spark.ops.sampling import topk_per_stratum
+
+        base = spark.createDataFrame(
+            [(1, "a", 0.5), (2, "a", 0.9), (3, "b", 0.1)],
+            ["doc_id", "stratum", "score"],
+        )
+        out = topk_per_stratum(base, "stratum", "score", 10).collect()
+        assert len(out) == 3
+        ranks = {(r["stratum"], r["doc_id"]): r["rank"] for r in out}
+        assert ranks[("a", 2)] == 1 and ranks[("a", 1)] == 2
+        assert ranks[("b", 3)] == 1
