@@ -4,7 +4,10 @@ Beyond the reference's per-document scope (SURVEY.md §2 rows 41-44
 territory): deduplication (exact, MinHash-LSH, SimHash, n-gram
 Jaccard, embedding-cosine), similarity search (brute-force + LSH-
 bucketed ANN), text analysis (language-ID, quality, tokens,
-fingerprints), and multimodal binary-column plumbing.
+fingerprints, repetition gates, PII scan), corpus curation
+(benchmark decontamination, deterministic stratified sampling,
+mixture rebalancing, token-shard packing, per-stratum top-k), and
+multimodal binary-column plumbing.
 
 Everything uses engine-portable primitives (md5-based hashing, list
 lambdas) so each operator has an exact DuckDB oracle twin.

@@ -54,6 +54,119 @@ def stratified_sample(
     return df.where(hash_uniform(F.col(key_col)) < rate_expr)
 
 
+def pack_token_shards(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    bucket_span: int = 100_000,
+) -> DataFrame:
+    """Assign each row to a fixed-token-budget training shard: rows in
+    order_col order accumulate tokens, and a row's shard is the shard
+    its STARTING offset falls in (shard_id = floor(prefix_sum /
+    budget)) — the standard pack-documents-into-shards step before
+    writing tokenized training files.
+
+    The semantic answer is a GLOBAL prefix sum, which a naive
+    Window.orderBy(order_col) computes by sorting the entire corpus
+    into ONE partition — a non-starter at scale. This runs the classic
+    two-phase distributed prefix sum instead:
+
+      1. bucket rows by a monotone function of order_col
+         (floor(order/bucket_span) — bucket order == row order), and
+         cumsum WITHIN each bucket (shuffle by bucket, parallel);
+      2. roll each bucket's total into per-bucket starting offsets
+         (a window over n_buckets ROWS, thousands not billions) and
+         broadcast-join them back: global prefix = bucket offset +
+         local prefix.
+
+    Equals the single-window answer exactly. Returns
+    (order_col, tokens_col, shard_id).
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(int(bucket_span)))
+    local = df.select(
+        order_col,
+        tokens_col,
+        bucket.alias("_b"),
+        F.sum(tokens_col).over(
+            Window.partitionBy(bucket).orderBy(F.col(order_col))
+        ).alias("_local_cum"),
+    )
+    w_buckets = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_b")
+        .agg(F.sum(tokens_col).alias("_btotal"))
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_btotal").over(w_buckets), F.lit(0)
+            ).alias("_offset"),
+        )
+    )
+    cum = F.col("_offset") + F.col("_local_cum")
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .select(
+            order_col,
+            tokens_col,
+            F.floor((cum - F.col(tokens_col)) / F.lit(float(budget)))
+            .alias("shard_id"),
+        )
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    target_shares: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Per-stratum sampling rates that rebalance the corpus toward a
+    target mixture (uniform across strata unless target_shares gives
+    explicit fractions): rate = min(1, target_weight / actual_weight),
+    the standard down-sample-only mixture correction (over-represented
+    strata are cut, under-represented ones pass whole — rates never
+    exceed 1 because this engine does not duplicate rows).
+
+    One partial-aggregated groupBy over the corpus plus a broadcast of
+    the single-row total; output is n_strata rows. Feed the rates into
+    stratified_sample for the actual pass.
+
+    Returns (stratum, n_rows, total_weight, rate).
+    """
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(weight_col).alias("total_weight"),
+    )
+    totals = per.agg(
+        F.sum("total_weight").alias("_grand"),
+        F.count("*").alias("_n_strata"),
+    )
+    if target_shares is None:
+        share = F.lit(1.0) / F.col("_n_strata")
+    else:
+        share = F.lit(0.0)
+        for stratum, frac in sorted(target_shares.items()):
+            share = F.when(
+                F.col("stratum") == F.lit(stratum), F.lit(float(frac))
+            ).otherwise(share)
+    return per.crossJoin(F.broadcast(totals)).select(
+        "stratum",
+        "n_rows",
+        "total_weight",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (share * F.col("_grand"))
+                / F.greatest(F.col("total_weight"), F.lit(1)),
+            ),
+            6,
+        ).alias("rate"),
+    )
+
+
 def topk_per_stratum(
     df: DataFrame,
     stratum_col: str,

@@ -2312,6 +2312,66 @@ def mix_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_token_shards",
+    f"""
+WITH toks AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS shard_id
+FROM c
+""",
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget shard assignment via the two-phase
+    distributed prefix sum; the oracle's single global window is the
+    semantic (and the 1000-executor anti-pattern)."""
+    from jvst_spark.ops.sampling import pack_token_shards as pack
+    from jvst_spark.ops.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_tokens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    # bucket_span 1000 => hundreds of buckets at bench scale: real
+    # two-phase behavior, not one giant bucket
+    return pack(
+        with_tokens, "n_tokens", budget=2048, bucket_span=1000
+    )
+
+
+@query(
+    "mix_rebalance_rates",
+    f"""
+WITH toks AS (SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens
+              FROM documents),
+per AS (SELECT lang AS stratum, count(*) AS n_rows,
+               sum(n_tokens) AS total_weight
+        FROM toks GROUP BY lang),
+tot AS (SELECT sum(total_weight) AS grand, count(*) AS n_strata FROM per)
+SELECT stratum, n_rows, total_weight,
+       round(least(1.0, (1.0 / n_strata) * grand
+                        / greatest(total_weight, 1)), 6) AS rate
+FROM per, tot
+""",
+)
+def mix_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample-only mixture correction toward a uniform per-lang
+    token share: one partial-aggregated groupBy + a broadcast 1-row
+    total; rates feed stratified_sample."""
+    from jvst_spark.ops.sampling import mixture_rates
+    from jvst_spark.ops.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_tokens = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return mixture_rates(with_tokens, "lang", "n_tokens")
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

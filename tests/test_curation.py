@@ -175,6 +175,90 @@ class TestSampling:
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
+class TestPackTokenShards:
+    def test_equals_global_window(self, spark):
+        from pyspark.sql import Window
+
+        from jvst_spark.ops.sampling import pack_token_shards
+
+        # gappy, shuffled ids across several buckets
+        base = spark.range(0, 900).select(
+            (F.col("id") * 7 % 1000).alias("doc_id"),
+            (F.col("id") % 97 + 1).alias("n_tokens"),
+        ).distinct().repartition(8)
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_token_shards(
+                base, "n_tokens", budget=256, bucket_span=100
+            ).collect()
+        }
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = {
+            r["doc_id"]: (r["cum"] - r["n_tokens"]) // 256
+            for r in base.withColumn(
+                "cum", F.sum("n_tokens").over(w)
+            ).collect()
+        }
+        assert got == want
+        # shards fill in order: ids sorted by doc_id have
+        # non-decreasing shard ids starting at 0
+        shard_seq = [got[k] for k in sorted(got)]
+        assert shard_seq[0] == 0
+        assert all(a <= b for a, b in zip(shard_seq, shard_seq[1:]))
+
+    def test_oversized_doc_gets_own_boundary(self, spark):
+        from jvst_spark.ops.sampling import pack_token_shards
+
+        base = spark.createDataFrame(
+            [(1, 10), (2, 500), (3, 10)], ["doc_id", "n_tokens"]
+        )
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_token_shards(
+                base, "n_tokens", budget=100, bucket_span=10
+            ).collect()
+        }
+        # starting offsets: 0, 10, 510 -> shards 0, 0, 5
+        assert got == {1: 0, 2: 0, 3: 5}
+
+
+class TestMixtureRates:
+    def test_uniform_target(self, spark):
+        from jvst_spark.ops.sampling import mixture_rates
+
+        base = spark.createDataFrame(
+            [(1, "a", 300), (2, "a", 300), (3, "b", 200),
+             (4, "c", 100), (5, "c", 100)],
+            ["doc_id", "stratum", "w"],
+        )
+        out = {
+            r["stratum"]: r
+            for r in mixture_rates(base, "stratum", "w").collect()
+        }
+        # grand=1000, uniform target ~333.33 per stratum
+        assert out["a"]["total_weight"] == 600
+        assert out["a"]["rate"] == round(1000 / 3 / 600, 6)
+        assert out["b"]["rate"] == 1.0  # under-represented: pass whole
+        assert out["c"]["rate"] == 1.0
+
+    def test_explicit_target_shares(self, spark):
+        from jvst_spark.ops.sampling import mixture_rates
+
+        base = spark.createDataFrame(
+            [(1, "a", 800), (2, "b", 200)], ["doc_id", "stratum", "w"]
+        )
+        out = {
+            r["stratum"]: r["rate"]
+            for r in mixture_rates(
+                base, "stratum", "w", target_shares={"a": 0.5, "b": 0.5}
+            ).collect()
+        }
+        assert out["a"] == round(500 / 800, 6)
+        assert out["b"] == 1.0
+
+
 class TestTopkPerStratum:
     def test_equals_naive_single_window(self, spark):
         from pyspark.sql import Window
