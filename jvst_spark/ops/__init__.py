@@ -6,7 +6,8 @@ Jaccard, embedding-cosine), similarity search (brute-force + LSH-
 bucketed ANN), text analysis (language-ID, quality, tokens,
 fingerprints, repetition gates, PII scan), corpus curation
 (benchmark decontamination, deterministic stratified sampling,
-mixture rebalancing, token-shard packing, per-stratum top-k), and
+mixture rebalancing, token-shard packing, per-stratum top-k,
+corpus-frequency boilerplate removal, repeated-n-gram hotspots), and
 multimodal binary-column plumbing.
 
 Everything uses engine-portable primitives (md5-based hashing, list

@@ -2372,6 +2372,77 @@ def mix_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_rates(with_tokens, "lang", "n_tokens")
 
 
+@query(
+    "text_boilerplate_clean",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+base AS (SELECT doc_id,
+                list_transform(
+                    range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                    j -> array_to_string(
+                        list_slice(tk, j * 8 + 1, j * 8 + 8), ' ')
+                ) AS chunks
+         FROM toks),
+segs AS (SELECT doc_id, unnest(chunks) AS seg FROM base),
+d AS (SELECT DISTINCT doc_id, seg FROM segs),
+freq AS (SELECT seg FROM d GROUP BY seg HAVING count(*) >= 2),
+fl AS (SELECT coalesce(list(seg), []) AS fs FROM freq)
+SELECT doc_id,
+       len(chunks) AS n_segments,
+       CAST(len(chunks) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM (SELECT doc_id, chunks,
+             list_filter(chunks, s -> NOT list_contains(fs, s)) AS kept
+      FROM base, fl)
+""",
+)
+def text_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal: drop 8-word chunks occurring
+    in >= 2 distinct documents (document frequency, within-doc repeats
+    once) and rebuild each doc in original order. Distributed path:
+    md5-keyed doc-frequency aggregate + AQE-broadcast anti-join +
+    per-doc ordered rebuild; the oracle filters each doc's chunk list
+    against the frequent set directly."""
+    from jvst_spark.ops.boilerplate import (
+        remove_frequent_segments,
+        word_chunks,
+    )
+    from jvst_spark.ops.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = docs.select(
+        "doc_id", word_chunks(tokens(F.col("text")), 8).alias("chunks")
+    )
+    return remove_frequent_segments(seg, "chunks", min_docs=2)
+
+
+@query(
+    "corpus_ngram_hotspots",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(
+                 range(0, greatest(len(tk) - 5, 0) + 1),
+                 i -> array_to_string(list_slice(tk, i + 1, i + 5), ' ')
+             )) AS gram
+      FROM toks)
+SELECT gram,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def corpus_ngram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated 5-gram table (document frequency >= 2,
+    plus total occurrences): the diagnostic behind boilerplate
+    thresholds and memorization audits. One explode + one map-side-
+    combined groupBy; only the repeated tail is emitted."""
+    from jvst_spark.ops.boilerplate import corpus_frequent_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_frequent_ngrams(docs, "text", k=5, min_docs=2)
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
