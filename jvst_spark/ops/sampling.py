@@ -54,6 +54,43 @@ def stratified_sample(
     return df.where(hash_uniform(F.col(key_col)) < rate_expr)
 
 
+def assign_splits(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named-fraction)
+    assignment: each row draws ONE hash coin from md5(salt || ':' ||
+    key) and lands in the half-open cumulative interval of its split,
+    in the given insertion order; rows at or beyond the cumulative
+    total fall into the LAST split, so coverage is total even when
+    fractions sum to 1 only up to float error.
+
+    The salt decorrelates the split coin from any sampling coin drawn
+    on the same key (stratified_sample keeps the LOW-coin rows — an
+    unsalted split would funnel every kept row into the first split).
+    Pure per-row projection: no shuffle, no state, identical
+    assignment at any parallelism and in the DuckDB oracle. Adds a
+    `split` column.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one fraction")
+    coin = hash_uniform(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    names = list(splits)
+    expr: Column = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += float(splits[name])
+        bounds.append((name, cum))
+    for name, bound in reversed(bounds):
+        expr = F.when(coin < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def pack_token_shards(
     df: DataFrame,
     tokens_col: str,

@@ -2373,6 +2373,34 @@ def mix_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_assign_splits",
+    """
+SELECT doc_id, lang,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(concat('split:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+      FROM documents)
+""",
+)
+def sample_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from a salted
+    per-row hash coin — parallelism-independent, rerun-stable, and
+    decorrelated from the sampling coin on the same key. Pure
+    projection: no shuffle."""
+    from jvst_spark.ops.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return assign_splits(
+        docs.select("doc_id", "lang"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
+@query(
     "text_boilerplate_clean",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),

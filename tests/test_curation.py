@@ -175,6 +175,60 @@ class TestSampling:
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
+class TestAssignSplits:
+    SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    def test_matches_reference_md5_coin(self, spark):
+        import hashlib
+
+        from jvst_spark.ops.sampling import assign_splits
+
+        def expect(key):
+            u = int(
+                hashlib.md5(f"split:{key}".encode()).hexdigest()[:8], 16
+            ) / 2**32
+            return "train" if u < 0.9 else ("val" if u < 0.95 else "test")
+
+        df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+        got = {
+            r["doc_id"]: r["split"]
+            for r in assign_splits(df, self.SPLITS).collect()
+        }
+        assert got == {k: expect(k) for k in range(2000)}
+
+    def test_parallelism_independent_and_proportional(self, spark):
+        from jvst_spark.ops.sampling import assign_splits
+
+        df = spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+        a = assign_splits(df.repartition(2), self.SPLITS)
+        b = assign_splits(df.repartition(17), self.SPLITS)
+        ca = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        cb = {r["split"]: r["n"] for r in
+              b.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert ca == cb
+        assert sum(ca.values()) == 10000
+        assert abs(ca["train"] - 9000) < 200
+        assert abs(ca["val"] - 500) < 100
+
+    def test_salt_decorrelates_from_sampling_coin(self, spark):
+        from jvst_spark.ops.sampling import assign_splits, hash_uniform
+
+        # rows KEPT by a hash sample (low unsalted coin) must still
+        # split ~90/5/5 — an unsalted split would send them all to
+        # 'train' (the low-coin interval)
+        df = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+        kept = df.where(hash_uniform(F.col("doc_id")) < 0.2)
+        counts = {
+            r["split"]: r["n"]
+            for r in assign_splits(kept, self.SPLITS)
+            .groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(counts.values())
+        assert counts.get("test", 0) > 0 and counts.get("val", 0) > 0
+        assert abs(counts["train"] / total - 0.9) < 0.03
+
+
 class TestPackTokenShards:
     def test_equals_global_window(self, spark):
         from pyspark.sql import Window
