@@ -588,3 +588,64 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def _let(col: Column, body) -> Column:
+    """Let-bind an expression so downstream references evaluate it
+    once (the element_at(transform(array(x), f), 1) recipe — without
+    it Catalyst re-derives aggregates referenced inside per-element
+    lambdas, turning O(d) quantization into O(d^2))."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    compression step before ANN indexing at corpus scale (64 float32
+    dims -> 64 int8 + one float scale = 4x smaller candidate tables,
+    shuffle bytes, and broadcast sizes).
+
+    scale = max|x| per vector; q_i = floor(x_i/scale*127 + 0.5)
+    (deterministic half-up in double space — identical in the DuckDB
+    oracle, where round() tie behavior would not be). Emits audit
+    stats rather than the raw int arrays: scale, saturation count,
+    the q-sum checksum (order-independent hash of the quantized
+    vector), and max reconstruction error. Pure per-row projection:
+    no shuffle, no Python, linear in corpus size.
+    """
+    e0 = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    packed = _let(e0, lambda e: _let(
+        F.greatest(F.array_max(F.transform(e, F.abs)), F.lit(1e-12)),
+        lambda safe: _let(
+            F.transform(
+                e,
+                lambda x: F.floor(x / safe * 127 + F.lit(0.5)).cast("int"),
+            ),
+            lambda q: F.struct(
+                F.round(safe, 6).alias("scale_r"),
+                F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias(
+                    "n_sat"
+                ),
+                F.aggregate(
+                    q, F.lit(0).cast("long"), lambda a, v: a + v
+                ).alias("q_sum"),
+                F.round(
+                    F.array_max(
+                        F.zip_with(
+                            e, q,
+                            lambda x, v: F.abs(x - v * safe / 127),
+                        )
+                    ),
+                    6,
+                ).alias("recon_err"),
+            ),
+        ),
+    ))
+    return df.select(id_col, packed.alias("_p")).select(
+        id_col,
+        F.col("_p.scale_r").alias("scale_r"),
+        F.col("_p.n_sat").alias("n_sat"),
+        F.col("_p.q_sum").alias("q_sum"),
+        F.col("_p.recon_err").alias("recon_err"),
+    )

@@ -310,3 +310,59 @@ def winnowing_fingerprint(
         packed["fp"].alias("winnow_fp"),
         packed["ng"].alias("n_grams"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    pre-tokenizer chunking step of a context-window training pipeline
+    (each chunk later packs into a fixed-length sequence; stride <
+    chunk_tokens gives the overlap that keeps boundary context).
+
+    Window starts at 0, stride, 2*stride, ... while start < n_tokens;
+    the last window may be short. Empty documents yield no chunks.
+    One Generate (posexplode) per doc — no shuffle, no Python; output
+    grows by ~n_tokens/stride rows per doc, linear in corpus size.
+    The token array is let-bound via the element_at(transform(array(
+    ...))) recipe so the explode does not re-derive split() per chunk.
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = tokens(F.col(text_col))
+
+    def chunks_of(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+        )
+        return F.when(
+            n > 0,
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.concat_ws(
+                        " ", F.slice(tk, s + 1, chunk_tokens)
+                    ).alias("chunk_text"),
+                    F.least(n - s, F.lit(chunk_tokens)).alias(
+                        "n_chunk_tokens"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<chunk_text:string,n_chunk_tokens:int>>"
+        ))
+
+    bound = F.element_at(F.transform(F.array(t), chunks_of), 1)
+    exploded = df.select(
+        "doc_id", F.posexplode(bound).alias("chunk_idx", "c")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

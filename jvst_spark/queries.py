@@ -2401,6 +2401,101 @@ def sample_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spans_interleave_stats",
+    f"""
+WITH spans_tbl AS ({{SPANS_SQL}}),
+k AS (SELECT doc_id, list_transform(spans, s -> s.kind) AS kinds
+      FROM spans_tbl)
+SELECT doc_id,
+       CAST(len(kinds) AS INT) AS n_spans,
+       CAST(len(list_filter(kinds, x -> x = 'media')) AS INT)
+           AS n_media,
+       round(len(list_filter(kinds, x -> x = 'media'))
+             / greatest(len(kinds), 1), 6) AS media_frac,
+       CAST(len(list_filter(
+           list_zip(kinds[1:len(kinds)-1], kinds[2:len(kinds)]),
+           p -> p[1] <> p[2])) AS INT) AS n_transitions
+FROM k
+""".replace("{SPANS_SQL}", SPANS_SQL),
+)
+def spans_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave-structure stats over the spans table: span counts by
+    kind, media fraction, adjacent-kind transition count — the
+    mixture/packing signals for interleaved text+media docs. Pure
+    Column projection over the spans array; no shuffle, no Python."""
+    from jvst_spark.ops.interleave import interleave_stats
+
+    return interleave_stats(spans_from_documents(spark, sf_dir))
+
+
+@query(
+    "emb_quantize_int8",
+    """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT vec_id, e,
+             greatest(list_max(list_transform(e, x -> abs(x))),
+                      1e-12) AS safe
+      FROM v),
+q AS (SELECT vec_id, e, safe,
+             list_transform(
+                 e, x -> CAST(floor(x / safe * 127 + 0.5) AS INT)
+             ) AS qv
+      FROM s)
+SELECT vec_id,
+       round(safe, 6) AS scale_r,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       round(list_max(list_transform(list_zip(e, qv),
+             p -> abs(p[1] - p[2] * safe / 127))), 6)
+           AS recon_err
+FROM q
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit (scale, saturation
+    count, q-sum checksum, max reconstruction error) — 4x compression
+    before ANN indexing. Pure projection, double-space half-up
+    rounding identical across engines."""
+    from jvst_spark.ops.similarity import quantize_embeddings_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings_int8(emb)
+
+
+@query(
+    "text_chunk_windows",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+nonempty AS (SELECT doc_id, tk, len(tk) AS n FROM toks
+             WHERE len(tk) > 0),
+starts AS (SELECT doc_id, tk, n,
+                  unnest(generate_series(0, CAST(n - 1 AS BIGINT),
+                                         48)) AS s
+           FROM nonempty)
+SELECT doc_id,
+       CAST(s // 48 AS INT) AS chunk_idx,
+       CAST(least(n - s, 64) AS INT) AS n_chunk_tokens,
+       array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text
+FROM starts
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48)
+    — the context-window pre-pack step of a training pipeline. One
+    Generate per doc, no shuffle, no Python; the token array is
+    let-bound so the explode derives split() once per document."""
+    from jvst_spark.ops.text import chunk_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_windows(
+        docs.select("doc_id", "text"), chunk_tokens=64, stride=48
+    )
+
+
+@query(
     "text_boilerplate_clean",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),

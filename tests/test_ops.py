@@ -746,3 +746,152 @@ class TestWinnowEdge:
         sql = oracle_sql()["text_winnow_fingerprint"]
         want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
         assert got == want
+
+
+class TestChunkWindows:
+    def test_known_windows(self, spark):
+        from jvst_spark.ops.text import chunk_windows
+
+        toks = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+        df = spark.createDataFrame([(1, toks)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_windows(df, chunk_tokens=4, stride=3).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        got = [(r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+               for r in rows]
+        assert got == [
+            (0, 4, "t1 t2 t3 t4"),
+            (1, 4, "t4 t5 t6 t7"),
+            (2, 4, "t7 t8 t9 t10"),
+            (3, 1, "t10"),
+        ]
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        from jvst_spark.ops.text import chunk_windows
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one two")], ["doc_id", "text"]
+        )
+        out = chunk_windows(df, chunk_tokens=4, stride=3)
+        assert [r["doc_id"] for r in out.collect()] == [3]
+
+    def test_chunk_count_and_tail_len(self, spark):
+        import math
+
+        from jvst_spark.ops.text import chunk_windows, tokens
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_by_doc = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", F.size(tokens(F.col("text"))).alias("n")
+            ).collect()
+        }
+        out = chunk_windows(docs, chunk_tokens=64, stride=48)
+        agg = {
+            r["doc_id"]: (r["cnt"], r["tail"])
+            for r in out.groupBy("doc_id").agg(
+                F.count("*").alias("cnt"),
+                F.min("n_chunk_tokens").alias("tail"),
+            ).collect()
+        }
+        for doc, n in n_by_doc.items():
+            if n == 0:
+                assert doc not in agg
+                continue
+            cnt = math.ceil(n / 48)
+            assert agg[doc][0] == cnt
+            # the shortest chunk is the tail (or a full chunk)
+            assert agg[doc][1] == min(64, n - 48 * (cnt - 1))
+
+    def test_plan_shuffle_and_python_free(self, spark):
+        from jvst_spark.ops.text import chunk_windows
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestQuantizeInt8:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from jvst_spark.ops.similarity import quantize_embeddings_int8
+
+        vecs = [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [3.0, 2.9, -3.0, 0.1]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        )
+        got = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+        for vid, vec in vecs:
+            x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+            safe = max(np.abs(x).max(), 1e-12)
+            q = np.floor(x / safe * 127 + 0.5).astype(int)
+            r = got[vid]
+            assert r["scale_r"] == round(safe, 6)
+            assert r["n_sat"] == int((np.abs(q) == 127).sum())
+            assert r["q_sum"] == int(q.sum())
+            assert abs(r["recon_err"] - np.abs(x - q * safe / 127).max()) < 2e-6
+
+    def test_zero_vector_is_all_zero_quant(self, spark):
+        from jvst_spark.ops.similarity import quantize_embeddings_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        r = quantize_embeddings_int8(df).collect()[0]
+        assert (r["n_sat"], r["q_sum"], r["recon_err"]) == (0, 0, 0.0)
+
+    def test_nonzero_vector_saturates_at_max(self, spark):
+        from jvst_spark.ops.similarity import quantize_embeddings_int8
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out = quantize_embeddings_int8(emb)
+        assert out.where(F.col("n_sat") < 1).count() == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestInterleaveStats:
+    def _df(self, spark, kinds_rows):
+        rows = [
+            (i, [("k%d" % j if k is None else k, None, None, j)
+                 for j, k in enumerate(ks)])
+            for i, ks in enumerate(kinds_rows)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    def test_transitions_and_fractions(self, spark):
+        from jvst_spark.ops.interleave import interleave_stats
+
+        df = self._df(spark, [
+            ["text", "media", "text", "media"],   # alternating: 3
+            ["media", "media", "text"],           # clumped: 1
+            [],                                    # empty: zeros
+            ["text"],                              # single: 0
+        ])
+        got = {r["doc_id"]: r for r in interleave_stats(df).collect()}
+        assert (got[0]["n_spans"], got[0]["n_media"],
+                got[0]["n_transitions"]) == (4, 2, 3)
+        assert got[0]["media_frac"] == 0.5
+        assert (got[1]["n_media"], got[1]["n_transitions"]) == (2, 1)
+        assert (got[2]["n_spans"], got[2]["n_media"],
+                got[2]["media_frac"], got[2]["n_transitions"]) == (0, 0, 0.0, 0)
+        assert got[3]["n_transitions"] == 0
+
+    def test_plan_shuffle_and_python_free(self, spark):
+        from jvst_spark.io.spans import spans_from_documents
+        from jvst_spark.ops.interleave import interleave_stats
+
+        out = interleave_stats(spans_from_documents(spark, SF_DIR))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
