@@ -1107,6 +1107,46 @@ def tbl_drift_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("dim", F.round("psi", 6).alias("psi"))
 
 
+@query(
+    "tbl_drift_timeline",
+    # per-day PSI vs the PREVIOUS day over events.value — day buckets
+    # in integer days-since-epoch (epoch_us // 86.4e9, tz-free, the
+    # sessionize discipline). The oracle mirrors the engine's
+    # two-rows-per-event shift (day as current, day+1 as baseline) so
+    # both sides derive from one pass over one table expression.
+    """
+WITH e2 AS (SELECT (epoch_us(ts) // 86400000000) + d AS day_idx,
+                   CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   CASE WHEN d = 0 THEN 1 ELSE 0 END AS is_cur
+            FROM events, UNNEST([0, 1]) AS u(d)
+            WHERE ts IS NOT NULL AND value IS NOT NULL),
+c AS (SELECT day_idx, bin, SUM(is_cur) AS n_cur,
+             SUM(1 - is_cur) AS n_prev
+      FROM e2 GROUP BY 1, 2),
+t AS (SELECT day_idx, n_cur, n_prev,
+             SUM(n_cur) OVER (PARTITION BY day_idx) AS tot_cur,
+             SUM(n_prev) OVER (PARTITION BY day_idx) AS tot_prev
+      FROM c),
+s AS (SELECT day_idx,
+             n_cur / tot_cur + 1e-6 AS p,
+             n_prev / tot_prev + 1e-6 AS q
+      FROM t WHERE tot_cur > 0 AND tot_prev > 0)
+SELECT day_idx, round(SUM((p - q) * ln(p / q)), 6) AS psi
+FROM s GROUP BY day_idx
+""",
+)
+def tbl_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift MONITOR: per-day PSI of events.value vs the previous day
+    — adjacent-day pairing via a 2-element explode (each event lands
+    in its own day as current and day+1 as baseline), so one scan and
+    one map-side-combined groupBy feed every day-pair; everything
+    after runs on the tiny days x bins aggregate."""
+    from jvst_spark.table_checks.drift import psi_timeline
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return psi_timeline(events, "value", "ts", bin_width=10.0)
+
+
 # ---------------------------------------------------------------------
 # column statistics (north rule: "column stats")
 # ---------------------------------------------------------------------

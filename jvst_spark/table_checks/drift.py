@@ -208,3 +208,72 @@ def drift_report(
             | (F.col("ks") > F.lit(ks_threshold))
         ).alias("drifted"),
     )
+
+
+def psi_timeline(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Per-day PSI of `value_col`'s distribution vs the PREVIOUS day —
+    the drift *monitor* (is today's feed shifting?) beside the static
+    pair checks above. Output: (day_idx bigint, psi double), one row
+    per day that has a preceding day with data.
+
+    Day buckets are integer days since epoch (floor(epoch_us/86.4e9))
+    — timezone-free on both engines via the sessionize module's
+    NTZ-safe epoch_us (parquet timestamps read as TIMESTAMP_NTZ). The
+    adjacent-day pairing needs NO self-join and NO second scan: each
+    event emits two rows via a 2-element explode — (its own day,
+    is_cur=1) and (day+1, is_cur=0) — so ONE pass + ONE map-side-
+    combined groupBy produces both sides of every day-pair; all later
+    math (per-day totals window, smoothed-mass PSI fold) runs on the
+    days x bins aggregate, which is tiny at any corpus size. Days
+    with no previous-day data (the first day, gaps) and the phantom
+    max_day+1 row drop via the tot_cur/tot_prev > 0 filter.
+    """
+    from jvst_spark.ops.sessions import epoch_us
+
+    day = F.floor(epoch_us(df, ts_col) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    binc = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    e2 = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(day.alias("day_idx"), F.lit(1).alias("is_cur")),
+                    F.struct(
+                        (day + 1).alias("day_idx"), F.lit(0).alias("is_cur")
+                    ),
+                )
+            ).alias("t"),
+            binc.alias("bin"),
+        )
+        .select(F.col("t.day_idx").alias("day_idx"), "bin", "t.is_cur")
+    )
+    counts = e2.groupBy("day_idx", "bin").agg(
+        F.sum("is_cur").alias("n_cur"),
+        F.sum(1 - F.col("is_cur")).alias("n_prev"),
+    )
+    w = Window.partitionBy("day_idx")
+    t = counts.select(
+        "day_idx",
+        "n_cur",
+        "n_prev",
+        F.sum("n_cur").over(w).alias("tot_cur"),
+        F.sum("n_prev").over(w).alias("tot_prev"),
+    ).where((F.col("tot_cur") > 0) & (F.col("tot_prev") > 0))
+    smoothed = t.select(
+        "day_idx",
+        (F.col("n_cur") / F.col("tot_cur") + F.lit(EPS)).alias("p"),
+        (F.col("n_prev") / F.col("tot_prev") + F.lit(EPS)).alias("q"),
+    )
+    return smoothed.groupBy("day_idx").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi")
+    )

@@ -126,3 +126,81 @@ class TestEmbeddingDrift:
             for r in embedding_psi(shifted, a, "embedding", 0.25).collect()
         }
         assert drifted[0] > 5 * noise
+
+
+class TestPsiTimeline:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, value double"
+        )
+
+    def test_matches_handrolled_psi(self, spark):
+        import datetime as dt
+        import math
+
+        rows = []
+        eid = 0
+        # day 0: values clustered low; day 1: half shifted high;
+        # day 2: identical to day 1 (PSI ~ 0)
+        per_day = {
+            0: [1.0] * 20 + [25.0] * 5,
+            1: [1.0] * 10 + [25.0] * 15,
+            2: [1.0] * 10 + [25.0] * 15,
+        }
+        for d, vals in per_day.items():
+            for v in vals:
+                rows.append(
+                    (eid, dt.datetime(1970, 1, 1 + d, 12, 0, 0), v)
+                )
+                eid += 1
+        from jvst_spark.table_checks.drift import EPS, psi_timeline
+
+        got = {
+            r["day_idx"]: r["psi"]
+            for r in psi_timeline(
+                self._mk(spark, rows), "value", "ts", bin_width=10.0
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+
+        def psi(cur, prev):
+            bins = set(cur) | set(prev)
+            tc, tp = sum(cur.values()), sum(prev.values())
+            s = 0.0
+            for b in bins:
+                p = cur.get(b, 0) / tc + EPS
+                q = prev.get(b, 0) / tp + EPS
+                s += (p - q) * math.log(p / q)
+            return round(s, 6)
+
+        h = lambda vals: {
+            b: sum(1 for v in vals if int(v // 10) == b)
+            for b in {int(v // 10) for v in vals}
+        }
+        assert got[1] == psi(h(per_day[1]), h(per_day[0]))
+        assert got[2] == psi(h(per_day[2]), h(per_day[1]))
+        assert got[2] < 1e-5 < got[1]
+
+    def test_gap_days_have_no_row(self, spark):
+        import datetime as dt
+
+        # days 0 and 2 populated, day 1 empty: no pair has both sides
+        rows = [
+            (1, dt.datetime(1970, 1, 1, 6), 5.0),
+            (2, dt.datetime(1970, 1, 3, 6), 5.0),
+        ]
+        from jvst_spark.table_checks.drift import psi_timeline
+
+        out = psi_timeline(self._mk(spark, rows), "value", "ts").collect()
+        assert out == []
+
+    def test_single_scan_plan(self, spark):
+        from jvst_spark.table_checks.drift import psi_timeline
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        plan = (
+            psi_timeline(events, "value", "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        assert "BatchEvalPython" not in plan
