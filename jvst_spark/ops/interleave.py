@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jvst_spark.ops._expr import let_bound
+
 
 def interleave_stats(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """(doc_id, n_spans, n_media, media_frac, n_transitions) where
@@ -46,7 +48,7 @@ def interleave_stats(df: DataFrame, spans_col: str = "spans") -> DataFrame:
 
     # let-bind the kinds array: the slices, filter, and size would
     # otherwise each re-derive the transform per element
-    st = F.element_at(F.transform(F.array(kinds), stats_of), 1)
+    st = let_bound(kinds, stats_of)
     return df.select("doc_id", st.alias("_s")).select(
         "doc_id",
         F.col("_s.n_spans").alias("n_spans"),

@@ -73,9 +73,22 @@ def assign_splits(
     Pure per-row projection: no shuffle, no state, identical
     assignment at any parallelism and in the DuckDB oracle. Adds a
     `split` column.
+
+    NULL keys get a NULL split (not a silent landing in the last
+    split — a corpus with even 1% NULL keys would otherwise bias its
+    smallest split); callers decide whether to drop or route them,
+    mirroring stratified_sample's NULL-drop. Fractions must be
+    non-negative and sum to at most 1 (+float slack) — a silently
+    unreachable split is a misconfiguration, not a remainder.
     """
     if not splits:
         raise ValueError("splits must name at least one fraction")
+    fracs = [float(v) for v in splits.values()]
+    if min(fracs) < 0 or sum(fracs) > 1.0 + 1e-9:
+        raise ValueError(
+            "split fractions must be non-negative and sum to <= 1, "
+            f"got {dict(splits)}"
+        )
     coin = hash_uniform(
         F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
     )
@@ -88,7 +101,9 @@ def assign_splits(
         bounds.append((name, cum))
     for name, bound in reversed(bounds):
         expr = F.when(coin < F.lit(bound), F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return df.withColumn(
+        "split", F.when(F.col(key_col).isNotNull(), expr)
+    )
 
 
 def pack_token_shards(

@@ -22,6 +22,8 @@ from typing import List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jvst_spark.ops._expr import let_bound as _let
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -590,14 +592,6 @@ def lsh_ann_topk(
     )
 
 
-def _let(col: Column, body) -> Column:
-    """Let-bind an expression so downstream references evaluate it
-    once (the element_at(transform(array(x), f), 1) recipe — without
-    it Catalyst re-derives aggregates referenced inside per-element
-    lambdas, turning O(d) quantization into O(d^2))."""
-    return F.element_at(F.transform(F.array(col), body), 1)
-
-
 def quantize_embeddings_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -627,8 +621,13 @@ def quantize_embeddings_int8(
                 F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias(
                     "n_sat"
                 ),
+                # coalesce: a NULL element must not NULL the whole
+                # checksum (the oracle's list_sum skips NULLs, and
+                # n_sat/recon_err already do)
                 F.aggregate(
-                    q, F.lit(0).cast("long"), lambda a, v: a + v
+                    q,
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + F.coalesce(v, F.lit(0)),
                 ).alias("q_sum"),
                 F.round(
                     F.array_max(

@@ -327,9 +327,10 @@ def chunk_windows(
     the last window may be short. Empty documents yield no chunks.
     One Generate (posexplode) per doc — no shuffle, no Python; output
     grows by ~n_tokens/stride rows per doc, linear in corpus size.
-    The token array is let-bound via the element_at(transform(array(
-    ...))) recipe so the explode does not re-derive split() per chunk.
+    The token array is let-bound (ops._expr.let_bound) so the explode
+    does not re-derive split() per chunk.
     """
+    from jvst_spark.ops._expr import let_bound
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     t = tokens(F.col(text_col))
@@ -356,7 +357,7 @@ def chunk_windows(
             "array<struct<chunk_text:string,n_chunk_tokens:int>>"
         ))
 
-    bound = F.element_at(F.transform(F.array(t), chunks_of), 1)
+    bound = let_bound(t, chunks_of)
     exploded = df.select(
         "doc_id", F.posexplode(bound).alias("chunk_idx", "c")
     )

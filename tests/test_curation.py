@@ -354,3 +354,31 @@ class TestTopkPerStratum:
         ranks = {(r["stratum"], r["doc_id"]): r["rank"] for r in out}
         assert ranks[("a", 2)] == 1 and ranks[("a", 1)] == 2
         assert ranks[("b", 3)] == 1
+
+
+class TestAssignSplitsEdges:
+    def test_null_key_gets_null_split(self, spark):
+        from jvst_spark.ops.sampling import assign_splits
+
+        df = spark.createDataFrame(
+            [(1,), (None,), (2,)], "doc_id long"
+        )
+        got = {
+            r["doc_id"]: r["split"]
+            for r in assign_splits(
+                df, {"train": 0.9, "val": 0.05, "test": 0.05}
+            ).collect()
+        }
+        assert got[None] is None
+        assert got[1] is not None and got[2] is not None
+
+    def test_invalid_fractions_raise(self, spark):
+        import pytest
+
+        from jvst_spark.ops.sampling import assign_splits
+
+        df = spark.range(1).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError):
+            assign_splits(df, {"a": 0.9, "b": 0.2})
+        with pytest.raises(ValueError):
+            assign_splits(df, {"a": -0.1, "b": 0.5})

@@ -895,3 +895,16 @@ class TestInterleaveStats:
         out = interleave_stats(spans_from_documents(spark, SF_DIR))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestQuantizeInt8NullElements:
+    def test_null_element_skipped_in_checksum(self, spark):
+        from jvst_spark.ops.similarity import quantize_embeddings_int8
+
+        df = spark.createDataFrame(
+            [(1, [0.5, None, 1.0])], "vec_id long, embedding array<float>"
+        )
+        r = quantize_embeddings_int8(df).collect()[0]
+        # scale from non-null max; q = [64, -, 127]
+        assert r["q_sum"] == 64 + 127
+        assert r["n_sat"] == 1
