@@ -56,22 +56,30 @@ def benchmark_ngram_overlap(
         .distinct()
     )
 
-    # let-bind the shingle array so its size and its explode are the
-    # SAME evaluation (CollapseProject would otherwise inline the
-    # shingle build into both references)
-    packed = F.element_at(
-        F.transform(
-            F.array(word_shingles(tokens(F.col(text_col)), k)),
-            lambda g: F.struct(
-                F.size(g).alias("n_grams"), g.alias("grams")
-            ),
-        ),
-        1,
-    )
+    # n_grams must ride INSIDE the exploded struct: a sibling
+    # projection of packed["n_grams"] beside explode(packed["grams"])
+    # lands in the Project ABOVE the Generate, where it re-evaluates
+    # the whole shingle build once per exploded row — O(grams^2) per
+    # document (measured: 15 s -> minutes at sf0.1 depending on the
+    # codegen path). With the struct emitted by the Generate itself
+    # the build runs once per document and the per-element size() is
+    # an O(1) length lookup on the let-bound array.
+    from jvst_spark.ops._expr import let_bound
+
     exploded = corpus.select(
-        "doc_id", packed["n_grams"].alias("n_grams"),
-        F.explode(packed["grams"]).alias("gram"),
-    )
+        "doc_id",
+        F.explode(
+            let_bound(
+                word_shingles(tokens(F.col(text_col)), k),
+                lambda g: F.transform(
+                    g,
+                    lambda x: F.struct(
+                        F.size(g).alias("n_grams"), x.alias("gram")
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.n_grams").alias("n_grams"), F.col("e.gram").alias("gram"))
 
     matched = (
         exploded.join(F.broadcast(bench_grams), "gram")
