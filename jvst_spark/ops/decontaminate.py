@@ -99,3 +99,38 @@ def benchmark_ngram_overlap(
         frac.alias("overlap_frac"),
         (frac >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+def exact_snippet_overlap(
+    corpus: DataFrame,
+    snippets: DataFrame,
+    text_col: str = "text",
+    snip_col: str = "snippet",
+    snip_id_col: str = "snip_id",
+) -> DataFrame:
+    """Exact-substring benchmark contamination: flag corpus documents
+    that contain any evaluation snippet VERBATIM (the strictest
+    decontamination rule — n-gram overlap catches paraphrase-ish
+    leaks, this catches the copy-paste ones with zero false
+    positives).
+
+    Scale story: eval snippet sets are tiny (thousands) against a
+    billion-document corpus, so the snippet side BROADCASTS and the
+    contains-join is a broadcast nested-loop over one corpus scan —
+    no shuffle at all; output is bounded by contamination volume.
+    For snippet sets too large for per-pair `contains` (100k+), the
+    upgrade path is a multi-pattern automaton (Aho-Corasick) inside
+    mapInPandas over the same broadcast — same one-scan shape.
+
+    Returns one row per contaminated document: (doc_id, n_hits,
+    first_snip) — documents with zero hits are by definition clean and
+    are not materialized (same contract as benchmark_ngram_overlap).
+    """
+    hits = corpus.join(
+        F.broadcast(snippets),
+        F.col(text_col).contains(F.col(snip_col)),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min(snip_id_col).alias("first_snip"),
+    )

@@ -367,3 +367,39 @@ def chunk_windows(
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style unigram negative-log-likelihood quality score: the
+    corpus unigram model scores every document by its mean -ln
+    p(token). High avg_nll = rare-token-heavy (gibberish, boilerplate
+    IDs, mojibake); low = stopword soup. The classic cheap perplexity
+    proxy used to bucket training corpora (CCNet's head/middle/tail).
+
+    Two passes by construction (the model IS a corpus aggregate):
+    pass 1 builds the unigram table — bounded by VOCABULARY size, not
+    corpus size, so it broadcasts; pass 2 rescans, collapses each doc
+    to (token, count) pairs map-side BEFORE the broadcast-join against
+    the model (join input is bounded by per-doc distinct tokens, not
+    token occurrences), and folds sum(count * nll) / n_tokens. No
+    shuffle carries raw token occurrences; nothing is per-row Python.
+    At web scale the model would cap to top-V tokens + an OOV floor;
+    here the corpus vocabulary is the model's support so no token is
+    OOV.
+    """
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    per_doc_tok = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c")
+    )
+    scored = per_doc_tok.join(F.broadcast(freq), "tok").join(
+        F.broadcast(total)
+    )
+    nll = -F.ln(F.col("cnt") / F.col("n_total"))
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.sum(F.col("c") * nll) / F.sum("c"), 6).alias("avg_nll"),
+    )

@@ -2606,6 +2606,308 @@ def corpus_ngram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_frequent_ngrams(docs, "text", k=5, min_docs=2)
 
 
+# ---------------------------------------------------------------------
+# event-table analytics (funnel / retention / freshness)
+# ---------------------------------------------------------------------
+
+_FUNNEL_E_SQL = """
+SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  AND event_type IN ('signup', 'view', 'click', 'purchase')
+"""
+
+
+@query(
+    "events_funnel",
+    # stepwise first-touch cascade: step i's time is the min event
+    # time of that type STRICTLY AFTER the step i-1 time. The engine's
+    # single-shuffle array fold is equality-proved against this
+    # stepwise-min formulation (same us chosen at every step).
+    f"""
+WITH e AS ({_FUNNEL_E_SQL}),
+u AS (SELECT count(DISTINCT user_id) AS n FROM e),
+s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'signup'
+       GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.us > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us > s2.t GROUP BY 1),
+s4 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us > s3.t GROUP BY 1)
+SELECT 1 AS step, 'signup' AS event_type,
+       (SELECT count(*) FROM s1) AS n_users,
+       round((SELECT count(*) FROM s1) * 1.0
+             / greatest((SELECT n FROM u), 1), 6) AS conv_rate
+UNION ALL
+SELECT 2, 'view', (SELECT count(*) FROM s2),
+       round((SELECT count(*) FROM s2) * 1.0
+             / greatest((SELECT count(*) FROM s1), 1), 6)
+UNION ALL
+SELECT 3, 'click', (SELECT count(*) FROM s3),
+       round((SELECT count(*) FROM s3) * 1.0
+             / greatest((SELECT count(*) FROM s2), 1), 6)
+UNION ALL
+SELECT 4, 'purchase', (SELECT count(*) FROM s4),
+       round((SELECT count(*) FROM s4) * 1.0
+             / greatest((SELECT count(*) FROM s3), 1), 6)
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel signup -> view -> click -> purchase in ONE
+    entity-keyed shuffle: per-user time-sorted event arrays fold
+    through the step cascade JVM-side (ops/events.py) — no per-step
+    self-join, so a 4-step funnel over 10^12 events is one Exchange.
+    The oracle is the textbook stepwise-min formulation."""
+    from jvst_spark.ops.events import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, ["signup", "view", "click", "purchase"])
+
+
+@query(
+    "events_retention",
+    f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+a AS (SELECT DISTINCT e.user_id, c.cohort_day,
+             e.day - c.cohort_day AS day_offset
+      FROM e JOIN c USING (user_id)),
+act AS (SELECT cohort_day, day_offset, count(*) AS n_active
+        FROM a GROUP BY 1, 2),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1)
+SELECT act.cohort_day, act.day_offset, act.n_active, sz.cohort_size,
+       round(act.n_active * 1.0 / sz.cohort_size, 6) AS retention
+FROM act JOIN sz USING (cohort_day)
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix (cohort = first active day) in one
+    entity-keyed shuffle: per-user (cohort, active-day set) aggregates
+    map-side, offsets explode from the bounded per-user set, and the
+    cohort-size join joins two O(days)-row aggregate frames — the raw
+    event table is never re-shuffled."""
+    from jvst_spark.ops.events import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
+@query(
+    "tbl_freshness_gaps",
+    # planted ingestion failures: days with day_idx % 7 in (1, 5) are
+    # dropped from the input (the fixture's analogue of a partition
+    # that never landed), and the 320-rows/day floor catches
+    # undersized days. The check emits the WHOLE observed-day spine so
+    # the report is self-auditing.
+    """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+           WHERE ts IS NOT NULL
+             AND (epoch_us(ts) // 86400000000) % 7 NOT IN (1, 5)),
+c AS (SELECT day, count(*) AS n_rows FROM e GROUP BY 1),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM span)
+SELECT day_idx, coalesce(n_rows, 0) AS n_rows,
+       coalesce(n_rows, 0) = 0 AS is_missing,
+       coalesce(n_rows, 0) > 0 AND coalesce(n_rows, 0) < 320 AS below_min
+FROM spine LEFT JOIN c ON c.day = spine.day_idx
+""",
+)
+def tbl_freshness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness/freshness spine over events: one scan -> per-day
+    counts (O(days) rows), day spine from sequence() on the 1-row
+    min/max aggregate, broadcast join back — missing days and
+    below-floor days flagged without a second scan or a driver-side
+    date loop (table_checks analogue of a nightly partition-landing
+    check)."""
+    from jvst_spark.ops.events import day_idx, freshness_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = day_idx(ev, "ts")
+    planted = ev.filter(
+        F.col("ts").isNotNull() & ~(d % 7).isin(1, 5)
+    )
+    return freshness_gaps(planted, "ts", min_rows_per_day=320)
+
+
+# ---------------------------------------------------------------------
+# corpus quality / decontamination (round-5 additions)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n_total FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(cnt / n_total)), 6) AS avg_nll
+FROM tok JOIN freq USING (tok), tot
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram NLL quality score: corpus unigram model
+    (pass 1, vocabulary-bounded, broadcast) scores every document's
+    mean -ln p(token) (pass 2, per-doc token counts collapse map-side
+    before the broadcast join). The cheap perplexity proxy used to
+    bucket corpora into head/middle/tail."""
+    from jvst_spark.ops.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return unigram_logprob(docs)
+
+
+@query(
+    "decontaminate_exact",
+    # planted copy-paste leaks: every benchmark snippet (first 12
+    # tokens of each doc_id % 97 == 0 document) is embedded verbatim
+    # in a synthetic corpus document; the join flags exactly those.
+    f"""
+WITH bench AS (SELECT doc_id AS snip_id,
+                      array_to_string(list_slice({_TOKS_SQL}, 1, 12), ' ')
+                        AS snippet
+               FROM documents
+               WHERE doc_id % 97 = 0 AND len({_TOKS_SQL}) >= 12),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT snip_id + 5000000, 'the ' || snippet || ' a' FROM bench)
+SELECT doc_id, count(*) AS n_hits, min(snip_id) AS first_snip
+FROM corpus JOIN bench ON position(snippet IN text) > 0
+GROUP BY doc_id
+""",
+)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination: broadcast the
+    (tiny) eval snippet set, one corpus scan through a
+    broadcast-nested-loop contains-join, output bounded by
+    contamination volume (ops/decontaminate.py:exact_snippet_overlap).
+    Complements decontaminate_ngram's overlap rule with the
+    zero-false-positive verbatim rule."""
+    from jvst_spark.ops.decontaminate import exact_snippet_overlap
+    from jvst_spark.ops.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tk = tokens(F.col("text"))
+    bench = (
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.size(tk) >= 12))
+        .select(
+            F.col("doc_id").alias("snip_id"),
+            F.concat_ws(" ", F.slice(tk, 1, 12)).alias("snippet"),
+        )
+    )
+    planted = bench.select(
+        (F.col("snip_id") + 5000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("the"), F.col("snippet"), F.lit("a")
+        ).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionAll(planted)
+    return exact_snippet_overlap(corpus, bench)
+
+
+# ---------------------------------------------------------------------
+# anomaly detection over validation verdicts
+# ---------------------------------------------------------------------
+
+
+@query(
+    "val_bucket_anomaly",
+    # z-scores of per-bucket violation rates against the cross-bucket
+    # population stats: the monitoring layer on top of the verdict
+    # sink (one hot shard in a 10^12-doc run shows up as |z| >= 2, not
+    # as a needle in a per-doc report). sigma = 0 -> z NULL, nothing
+    # anomalous.
+    f"""
+WITH spans_tbl AS ({SPANS_SQL}),
+vio AS ({_VIOLATIONS_SQL}),
+vb AS (SELECT TRY_CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket,
+              count(*) AS nv
+       FROM vio GROUP BY 1),
+db AS (SELECT TRY_CAST(substr(doc_id, 5) AS BIGINT) % 8 AS bucket,
+              count(*) AS n_docs
+       FROM spans_tbl GROUP BY 1),
+r AS (SELECT db.bucket, db.n_docs, coalesce(vb.nv, 0) AS n_violations,
+             coalesce(vb.nv, 0) * 1.0 / db.n_docs AS rate
+      FROM db LEFT JOIN vb USING (bucket)),
+s AS (SELECT avg(rate) AS mu, stddev_pop(rate) AS sigma FROM r)
+SELECT bucket, n_docs, n_violations,
+       round(rate, 6) AS violation_rate,
+       round(CASE WHEN sigma > 0 THEN (rate - mu) / sigma END, 6) AS z,
+       coalesce(abs(CASE WHEN sigma > 0 THEN (rate - mu) / sigma END)
+                >= 2.0, FALSE) AS anomalous
+FROM r, s
+""",
+)
+def val_bucket_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket violation-rate anomaly flags: the flagship verdict
+    sink's by-bucket rollup crossJoined with its own 1-row population
+    stats (avg/stddev_pop over O(buckets) rows — the crossJoin is a
+    broadcast of one row). Everything after the validation pass runs
+    on the tiny bucket aggregate."""
+    df = spans_from_documents(spark, sf_dir)
+    res = _flagship_plan().apply_typed(df)
+    bucket = F.substring("doc_id", 5, 12).cast("bigint") % 8
+    m = res.metrics_by(bucket)
+    rate = F.col("n_violations") / F.col("n_docs")
+    r = m.select("bucket", "n_docs", "n_violations", rate.alias("rate"))
+    s = r.agg(
+        F.avg("rate").alias("mu"), F.stddev_pop("rate").alias("sigma")
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("rate") - F.col("mu")) / F.col("sigma")
+    )
+    return r.crossJoin(F.broadcast(s)).select(
+        "bucket",
+        "n_docs",
+        "n_violations",
+        F.round("rate", 6).alias("violation_rate"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("anomalous"),
+    )
+
+
+@query(
+    "stats_corr_orders",
+    # Deequ-style correlation check over genuinely correlated columns
+    # (extended price is quantity x unit price, so the corr is
+    # strongly positive and far from any rounding boundary)
+    """
+SELECT count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 4)
+         AS covar_qty_price
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+""",
+)
+def stats_corr_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pair correlation/covariance profile (the Deequ
+    `Correlation` analyzer shape): one map-side-combined aggregate
+    over one scan; co-moments merge associatively so the plan is a
+    partial+final HashAggregate with no shuffle beyond the 1-row
+    final."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        "l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+    )
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
