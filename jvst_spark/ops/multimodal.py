@@ -372,8 +372,19 @@ def synthetic_real_media(spark, sf_dir: str, kind: str) -> DataFrame:
     from doc_id via mapInPandas — the fixture for the real-codec oracle
     queries."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return real_media_from_ids(docs, kind)
+
+
+def real_media_from_ids(
+    ids: DataFrame, kind: str, prefix: str | None = None
+) -> DataFrame:
+    """REAL format payloads for an arbitrary id frame (`doc_id`
+    column): the generator behind synthetic_real_media, exposed so
+    compositions can build payload dimensions keyed however the fact
+    table references them (e.g. the spans table's 'media-N' refs)."""
     gen = _ppm_bytes if kind == "image" else _wav_bytes
-    prefix = "img-" if kind == "image" else "wav-"
+    if prefix is None:
+        prefix = "img-" if kind == "image" else "wav-"
     out_schema = (
         "media_ref string, media_type string, payload binary"
     )
@@ -393,7 +404,7 @@ def synthetic_real_media(spark, sf_dir: str, kind: str) -> DataFrame:
 
     from jvst_spark.ops._parallel import ensure_min_parallelism
 
-    return ensure_min_parallelism(docs).mapInPandas(batches, out_schema)
+    return ensure_min_parallelism(ids).mapInPandas(batches, out_schema)
 
 
 def frame_sample_plan(

@@ -2908,6 +2908,112 @@ def stats_corr_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_curate",
+    # the composed nightly pipeline: exact-dedup representatives ->
+    # quality gate at the ROUNDED score -> salted split coin -> token
+    # accounting. One shuffle end-to-end (the dedup groupBy).
+    f"""
+WITH reps AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+              FROM documents GROUP BY md5(text)),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM reps),
+q AS (SELECT doc_id, tk, round(
+    0.4 * least(len(tk) / 50.0, 1.0)
+  + 0.3 * (len(list_distinct(tk)) / greatest(len(tk), 1))
+  + 0.3 * least(len(list_filter(tk, t -> t IN {_STOPS_SQL})) * 5.0
+                / greatest(len(tk), 1), 1.0), 6) AS quality FROM toks),
+g AS (SELECT doc_id, quality, CAST(len(tk) AS INTEGER) AS n_tokens,
+             CAST(concat('0x', substr(md5(concat('split:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+      FROM q WHERE quality >= 0.55)
+SELECT doc_id, quality, n_tokens,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+""",
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition (ops/pipeline.py): every stage
+    is an already-oracled operator; this query pins that they compose
+    into ONE Spark DAG with exactly one shuffle — dedup's md5 groupBy
+    — and per-row projections fused after it."""
+    from jvst_spark.ops.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return curate_corpus(docs)
+
+
+@query(
+    "spans_media_decode",
+    # closed forms for the PPM payloads keyed by media id m (same
+    # construction as multimodal_decode_ppm: width = 4 + m%5, R ramps
+    # from m along x so mean_r = m + (width-1)/2; all halves are
+    # float32-exact). media-6 has no payload (the catalog's
+    # deliberate dangling id) -> unresolved.
+    f"""
+WITH spans_tbl AS ({SPANS_SQL}),
+e AS (SELECT doc_id, unnest(spans) AS s FROM spans_tbl),
+m AS (SELECT doc_id, CAST(substr(s.media_ref, 7) AS BIGINT) AS mid
+      FROM e WHERE s.kind = 'media'),
+j AS (SELECT doc_id, mid, mid <= 5 AS resolved,
+             CASE WHEN mid <= 5 THEN 4 + mid % 5 END AS width,
+             CASE WHEN mid <= 5
+                  THEN mid + (4 + mid % 5 - 1) / 2.0 END AS mean_r
+      FROM m)
+SELECT doc_id, count(*) AS n_media,
+       CAST(sum(CASE WHEN resolved THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resolved,
+       CAST(coalesce(sum(width), 0) AS BIGINT) AS sum_width,
+       round(avg(mean_r), 6) AS avg_mean_r
+FROM j GROUP BY doc_id
+""",
+)
+def spans_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved text+media axis end-to-end: explode the spans
+    table's media spans, LEFT-join the BROADCAST decoded-feature
+    dimension (real PPM payloads for the 6 catalog ids, decoded by the
+    registered pure-numpy codec — media-6 stays dangling), and roll up
+    per-document media statistics. One scan of the fact side; the
+    payload decode runs once over the O(catalog) dimension, never per
+    span occurrence — the shape a 10^12-doc corpus with a bounded
+    media catalog needs."""
+    from jvst_spark.ops.multimodal import (
+        decode_features,
+        decode_ppm,
+        real_media_from_ids,
+    )
+
+    spans = spans_from_documents(spark, sf_dir)
+    ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    media = real_media_from_ids(ids, "image", prefix="media-")
+    feats = decode_features(media, decoders={"image": decode_ppm})
+    fsel = feats.select(
+        "media_ref",
+        F.element_at("features", 1).cast("bigint").alias("width"),
+        F.element_at("features", 4).cast("double").alias("mean_r"),
+    )
+    ex = spans.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    )
+    j = ex.join(
+        F.broadcast(fsel),
+        ex["s.media_ref"] == fsel["media_ref"],
+        "left",
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_media"),
+        F.sum(fsel["media_ref"].isNotNull().cast("long")).alias(
+            "n_resolved"
+        ),
+        F.coalesce(F.sum("width"), F.lit(0)).alias("sum_width"),
+        F.round(F.avg("mean_r"), 6).alias("avg_mean_r"),
+    )
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
