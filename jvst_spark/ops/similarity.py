@@ -648,3 +648,37 @@ def quantize_embeddings_int8(
         F.col("_p.q_sum").alias("q_sum"),
         F.col("_p.recon_err").alias("recon_err"),
     )
+
+
+def embedding_norm_audit(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Pre-ANN sanity audit of an embedding column in ONE aggregate:
+    vector count, dimension range (a ragged column breaks every
+    GEMM-based operator downstream), zero-vector count (cosine is
+    undefined on them), and the L2-norm range/mean. The check to run
+    before any sim_* operator at corpus scale — one scan, map-side
+    combined, 1-row output.
+
+    Norms accumulate in DOUBLE with a sequential left-to-right fold so
+    the per-row value is bit-identical across engines that fold lists
+    sequentially (float32 inputs are exact in double)."""
+    x = F.col(vec_col)
+    sq = F.aggregate(
+        x,
+        F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    per = emb.filter(x.isNotNull()).select(
+        F.size(x).alias("n_dims"), norm.alias("norm")
+    )
+    return per.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("n_dims").alias("min_dims"),
+        F.max("n_dims").alias("max_dims"),
+        F.sum((F.col("norm") == 0.0).cast("long")).alias("n_zero"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+    )

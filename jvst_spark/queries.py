@@ -3014,6 +3014,65 @@ def spans_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_anomaly",
+    # row-scope sibling of val_bucket_anomaly: per-event_type
+    # population z-scores, outliers at |z| >= 3 (compared on the
+    # ROUNDED z so the cut replays identically); sigma = 0 -> nothing
+    """
+WITH s AS (SELECT event_type, avg(value) AS mu,
+                  stddev_pop(value) AS sigma
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+z AS (SELECT e.event_id, e.event_type, e.value,
+             round(CASE WHEN s.sigma > 0
+                        THEN (e.value - s.mu) / s.sigma END, 6) AS z
+      FROM events e JOIN s USING (event_type))
+SELECT event_id, event_type, value, z FROM z WHERE abs(z) >= 3.0
+""",
+)
+def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level numeric outlier report (table_checks/outliers.py):
+    per-group population stats from one map-side-combined aggregate
+    (O(groups) rows, broadcast back), outlier filter as a per-row
+    projection — output bounded by outlier volume, not corpus size."""
+    from jvst_spark.table_checks.outliers import value_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_outliers(
+        ev, "value", "event_type", z_threshold=3.0, id_cols=("event_id",)
+    ).select("event_id", "event_type", "value", "z")
+
+
+@query(
+    "emb_norm_audit",
+    # per-row norms fold left-to-right in DOUBLE on both engines
+    # (float32 inputs are exact in double), so min/max hash exactly
+    """
+WITH per AS (SELECT len(embedding) AS n_dims,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      AS norm
+             FROM embeddings WHERE embedding IS NOT NULL)
+SELECT count(*) AS n_vecs,
+       min(n_dims) AS min_dims, max(n_dims) AS max_dims,
+       CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm,
+       round(avg(norm), 6) AS avg_norm
+FROM per
+""",
+)
+def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ANN embedding sanity audit (ops/similarity.py): dimension
+    range, zero vectors, L2-norm stats — one scan, one aggregate,
+    1-row output. The gate to run before any sim_* operator."""
+    from jvst_spark.ops.similarity import embedding_norm_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_norm_audit(emb)
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -195,3 +195,48 @@ class TestExactSnippet:
             for r in exact_snippet_overlap(corpus, snips).collect()
         }
         assert out == {1: (1, 10), 3: (2, 10)}
+
+
+class TestValueOutliers:
+    def test_sigma_zero_and_threshold(self, spark):
+        from jvst_spark.table_checks.outliers import value_outliers
+
+        df = spark.createDataFrame(
+            # group a: mean 0, one far outlier; group b: constant
+            [(1, "a", 0.0), (2, "a", 1.0), (3, "a", -1.0),
+             (4, "a", 100.0), (5, "b", 7.0), (6, "b", 7.0)],
+            "event_id bigint, event_type string, value double",
+        )
+        out = value_outliers(
+            df, "value", "event_type", z_threshold=1.5,
+            id_cols=("event_id",),
+        ).collect()
+        assert [r["event_id"] for r in out] == [4]
+        assert out[0]["z"] > 1.5
+
+    def test_null_values_ignored_in_stats(self, spark):
+        from jvst_spark.table_checks.outliers import value_outliers
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.0), (2, "a", 10.0), (3, "a", None)],
+            "event_id bigint, event_type string, value double",
+        )
+        out = value_outliers(df, "value", "event_type", 0.5,
+                             ("event_id",))
+        # the NULL row draws NULL z and never flags
+        assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+
+class TestEmbNormAudit:
+    def test_zero_and_ragged(self, spark):
+        from jvst_spark.ops.similarity import embedding_norm_audit
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        r = embedding_norm_audit(df).collect()[0]
+        assert (r["n_vecs"], r["min_dims"], r["max_dims"]) == (3, 2, 3)
+        assert r["n_zero"] == 1
+        assert (r["min_norm"], r["max_norm"]) == (0.0, 5.0)
+        assert r["avg_norm"] == 2.0
