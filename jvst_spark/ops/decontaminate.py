@@ -107,6 +107,7 @@ def exact_snippet_overlap(
     text_col: str = "text",
     snip_col: str = "snippet",
     snip_id_col: str = "snip_id",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact-substring benchmark contamination: flag corpus documents
     that contain any evaluation snippet VERBATIM (the strictest
@@ -125,12 +126,22 @@ def exact_snippet_overlap(
     Returns one row per contaminated document: (doc_id, n_hits,
     first_snip) — documents with zero hits are by definition clean and
     are not materialized (same contract as benchmark_ngram_overlap).
+
+    Empty/NULL snippets are dropped defensively: contains('') is true
+    on EVERY document, so one zero-length eval row would flag the
+    whole corpus and break the bounded-output contract.
     """
+    snips = snippets.filter(
+        F.col(snip_col).isNotNull() & (F.length(snip_col) > 0)
+    )
     hits = corpus.join(
-        F.broadcast(snippets),
+        F.broadcast(snips),
         F.col(text_col).contains(F.col(snip_col)),
     )
-    return hits.groupBy("doc_id").agg(
+    # group on the CORPUS side's id attribute explicitly: the snippet
+    # frame may legitimately carry its own id_col-named column (it is
+    # often derived from the same documents table)
+    return hits.groupBy(corpus[id_col]).agg(
         F.count("*").alias("n_hits"),
         F.min(snip_id_col).alias("first_snip"),
     )

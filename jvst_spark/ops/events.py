@@ -26,28 +26,27 @@ Scale story (the 100 TB shape):
 
 Skew: a bot entity with 10^8 events lands one oversized array in one
 task in `funnel_steps`. Mitigation mirrors ops/dedup.py's banding
-guard: cap per-entity collected events (`max_events_per_user`) —
-funnel semantics only need the FIRST qualifying event per step, so
-keeping the earliest N in time order is lossless whenever N covers
-the funnel horizon; overflow is logged by count, never silently.
+guard: `max_events_per_user` keeps only each entity's EARLIEST N
+step-type events (a window row_number over the same partitioning the
+groupBy needs — no extra exchange), and `log_overflow` reports how
+many entities were capped. Keeping the earliest N is lossless
+whenever N covers the funnel horizon (the cascade only ever consumes
+first-touch times); an entity whose horizon exceeds the cap can only
+LOSE later steps, never gain them.
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+logger = logging.getLogger(__name__)
+
+from jvst_spark.ops.sessions import day_index as day_idx  # shared
 from jvst_spark.ops.sessions import epoch_us
-
-_DAY_US = 86_400_000_000
-
-
-def day_idx(df: DataFrame, ts_col: str = "ts"):
-    """Integer day index since the epoch, in exact microsecond math
-    (see ops/sessions.py:39 for the TIMESTAMP_NTZ trap)."""
-    return F.floor(epoch_us(df, ts_col) / F.lit(_DAY_US))
 
 
 def funnel_steps(
@@ -56,6 +55,8 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
+    log_overflow: bool = False,
 ) -> DataFrame:
     """Strict-order funnel: a user reaches step i when an event of
     type steps[i] occurs STRICTLY AFTER the time they reached step
@@ -83,6 +84,33 @@ def funnel_steps(
         F.col(user_col).alias("user_id"),
         F.struct(us.alias("us"), F.col(type_col).alias("t")).alias("e"),
     )
+    if max_events_per_user is not None:
+        # earliest-N cap per entity: the window shares the groupBy's
+        # partitioning, so the cap costs no extra exchange; it bounds
+        # both the collected array and the fold's work per row
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("e.us"), F.col("e.t")
+        )
+        ranked = ev.withColumn("_rn", F.row_number().over(w))
+        if log_overflow:
+            n_capped = (
+                ranked.filter(
+                    F.col("_rn") == int(max_events_per_user) + 1
+                ).count()
+            )
+            if n_capped:
+                logger.warning(
+                    "funnel_steps: %d entities exceeded "
+                    "max_events_per_user=%d; later steps beyond the "
+                    "horizon are dropped for them",
+                    n_capped,
+                    max_events_per_user,
+                )
+        ev = ranked.filter(
+            F.col("_rn") <= int(max_events_per_user)
+        ).drop("_rn")
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("e")).alias("evs")
     )
@@ -115,10 +143,16 @@ def funnel_steps(
 
     reached = per_user.select(cascade(F.col("evs")).alias("r"))
     counts = reached.agg(
+        # coalesce: on an EMPTY event frame sum() is NULL but the
+        # funnel's answer is 0 at every step (the SQL formulation's
+        # count(*) subqueries return 0) — NULL would hide a dead funnel
         *[
-            F.sum(F.element_at("r", j + 1).isNotNull().cast("long")).alias(
-                f"n{j}"
-            )
+            F.coalesce(
+                F.sum(
+                    F.element_at("r", j + 1).isNotNull().cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"n{j}")
             for j in range(k)
         ],
         F.count("*").alias("n_total"),

@@ -50,7 +50,12 @@ def curate_corpus(
     gated = scored.filter(F.col("quality") >= F.lit(float(min_quality)))
     split = assign_splits(
         gated,
-        splits or {"train": 0.9, "val": 0.05, "test": 0.05},
+        # `is None`, not `or`: an explicitly-empty splits mapping is a
+        # misconfiguration assign_splits must reject, not a request
+        # for the defaults
+        splits
+        if splits is not None
+        else {"train": 0.9, "val": 0.05, "test": 0.05},
     )
     return split.select(
         "doc_id",

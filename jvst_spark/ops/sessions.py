@@ -53,6 +53,20 @@ def epoch_us(df: DataFrame, ts_col: str):
     return F.unix_micros(F.col(ts_col))
 
 
+DAY_US = 86_400_000_000
+
+
+def day_index(df: DataFrame, ts_col: str = "ts"):
+    """Integer day index since the epoch: FLOOR division of exact
+    microseconds, so pre-epoch timestamps land in contiguous negative
+    days (truncation toward zero would give day 0 a 48-hour span).
+    The single shared derivation for every day-bucketed check
+    (drift timeline, retention, freshness) — oracle SQL twins must use
+    floor(epoch_us/86.4e9), not DuckDB's truncating `//`, to agree
+    before 1970."""
+    return F.floor(epoch_us(df, ts_col) / F.lit(DAY_US)).cast("bigint")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",

@@ -662,22 +662,35 @@ def embedding_norm_audit(
 
     Norms accumulate in DOUBLE with a sequential left-to-right fold so
     the per-row value is bit-identical across engines that fold lists
-    sequentially (float32 inputs are exact in double)."""
+    sequentially (float32 inputs are exact in double).
+
+    MALFORMED vectors — empty arrays and arrays containing NULL
+    elements — are counted in `n_malformed` and EXCLUDED from every
+    norm statistic instead of silently skewing it (engines disagree on
+    them: Spark's fold gives 0.0 for [] and NULL-propagates on a NULL
+    element, DuckDB's list_sum gives NULL for [] and IGNORES NULL
+    elements — only an explicit contract hashes identically)."""
     x = F.col(vec_col)
+    malformed = (F.size(x) == 0) | F.exists(x, lambda v: v.isNull())
     sq = F.aggregate(
         x,
         F.lit(0.0),
         lambda a, v: a + v.cast("double") * v.cast("double"),
     )
-    norm = F.sqrt(sq)
+    norm = F.when(~malformed, F.sqrt(sq))
     per = emb.filter(x.isNotNull()).select(
-        F.size(x).alias("n_dims"), norm.alias("norm")
+        F.size(x).alias("n_dims"),
+        malformed.alias("bad"),
+        norm.alias("norm"),
     )
     return per.agg(
         F.count("*").alias("n_vecs"),
         F.min("n_dims").alias("min_dims"),
         F.max("n_dims").alias("max_dims"),
-        F.sum((F.col("norm") == 0.0).cast("long")).alias("n_zero"),
+        F.sum(F.col("bad").cast("long")).alias("n_malformed"),
+        F.coalesce(
+            F.sum((F.col("norm") == 0.0).cast("long")), F.lit(0)
+        ).alias("n_zero"),
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
         F.round(F.avg("norm"), 6).alias("avg_norm"),

@@ -1115,7 +1115,7 @@ def tbl_drift_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-rows-per-event shift (day as current, day+1 as baseline) so
     # both sides derive from one pass over one table expression.
     """
-WITH e2 AS (SELECT (epoch_us(ts) // 86400000000) + d AS day_idx,
+WITH e2 AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + d AS day_idx,
                    CAST(floor(value / 10.0) AS BIGINT) AS bin,
                    CASE WHEN d = 0 THEN 1 ELSE 0 END AS is_cur
             FROM events, UNNEST([0, 1]) AS u(d)
@@ -2667,7 +2667,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_retention",
     f"""
-WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+WITH e AS (SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events
            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
 c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
 a AS (SELECT DISTINCT e.user_id, c.cohort_day,
@@ -2701,9 +2701,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # undersized days. The check emits the WHOLE observed-day spine so
     # the report is self-auditing.
     """
-WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+WITH e AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events
            WHERE ts IS NOT NULL
-             AND (epoch_us(ts) // 86400000000) % 7 NOT IN (1, 5)),
+             AND CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) % 7 NOT IN (1, 5)),
 c AS (SELECT day, count(*) AS n_rows FROM e GROUP BY 1),
 span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
 spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM span)
@@ -3049,14 +3049,22 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (float32 inputs are exact in double), so min/max hash exactly
     """
 WITH per AS (SELECT len(embedding) AS n_dims,
-                    sqrt(list_sum(list_transform(embedding,
-                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                      AS norm
+                    len(embedding) = 0 OR len(list_filter(embedding,
+                        x -> x IS NULL)) > 0 AS bad,
+                    CASE WHEN NOT (len(embedding) = 0
+                              OR len(list_filter(embedding,
+                                     x -> x IS NULL)) > 0)
+                         THEN sqrt(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE))))
+                    END AS norm
              FROM embeddings WHERE embedding IS NOT NULL)
 SELECT count(*) AS n_vecs,
        min(n_dims) AS min_dims, max(n_dims) AS max_dims,
-       CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_zero,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(coalesce(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_zero,
        round(min(norm), 6) AS min_norm,
        round(max(norm), 6) AS max_norm,
        round(avg(norm), 6) AS avg_norm

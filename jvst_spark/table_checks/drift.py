@@ -233,11 +233,9 @@ def psi_timeline(
     with no previous-day data (the first day, gaps) and the phantom
     max_day+1 row drop via the tot_cur/tot_prev > 0 filter.
     """
-    from jvst_spark.ops.sessions import epoch_us
+    from jvst_spark.ops.sessions import day_index
 
-    day = F.floor(epoch_us(df, ts_col) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = day_index(df, ts_col)
     binc = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
     e2 = (
         df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())

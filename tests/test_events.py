@@ -93,6 +93,29 @@ class TestFunnel:
         with pytest.raises(ValueError):
             funnel_steps(_ev(spark, [(1, 100, "view")]), [])
 
+    def test_empty_input_yields_zero_counts(self, spark):
+        # no step-type events at all: every step reports 0 users and
+        # conv_rate 0.0 (not NULL) — the SQL formulation's answer
+        ev = _ev(spark, [(1, 100, "other")])
+        m = _funnel_map(funnel_steps(ev, STEPS))
+        assert all(m[j][0] == 0 and m[j][1] == 0.0 for j in m)
+
+    def test_max_events_cap_keeps_earliest(self, spark):
+        # cap at 2: u1's purchase (3rd event) falls beyond the horizon
+        ev = _ev(
+            spark,
+            [
+                (1, 100, "signup"),
+                (1, 200, "view"),
+                (1, 300, "click"),
+                (2, 100, "signup"),
+            ],
+        )
+        m = _funnel_map(funnel_steps(ev, STEPS, max_events_per_user=2))
+        assert m[1][0] == 2 and m[2][0] == 1 and m[3][0] == 0
+        full = _funnel_map(funnel_steps(ev, STEPS))
+        assert full[3][0] == 1
+
 
 class TestRetention:
     def test_offsets_and_rates(self, spark):
@@ -237,6 +260,32 @@ class TestEmbNormAudit:
         )
         r = embedding_norm_audit(df).collect()[0]
         assert (r["n_vecs"], r["min_dims"], r["max_dims"]) == (3, 2, 3)
-        assert r["n_zero"] == 1
+        assert (r["n_malformed"], r["n_zero"]) == (0, 1)
         assert (r["min_norm"], r["max_norm"]) == (0.0, 5.0)
         assert r["avg_norm"] == 2.0
+
+    def test_malformed_counted_not_scored(self, spark):
+        # empty arrays and NULL elements: counted in n_malformed,
+        # excluded from every norm statistic (engines disagree on
+        # their fold semantics — the contract pins one answer)
+        from jvst_spark.ops.similarity import embedding_norm_audit
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, []), (3, [1.0, None])],
+            "vec_id bigint, embedding array<float>",
+        )
+        r = embedding_norm_audit(df).collect()[0]
+        assert (r["n_vecs"], r["n_malformed"], r["n_zero"]) == (3, 2, 0)
+        assert (r["min_norm"], r["max_norm"], r["avg_norm"]) == (
+            5.0, 5.0, 5.0,
+        )
+
+    def test_all_malformed(self, spark):
+        from jvst_spark.ops.similarity import embedding_norm_audit
+
+        df = spark.createDataFrame(
+            [(1, [])], "vec_id bigint, embedding array<float>"
+        )
+        r = embedding_norm_audit(df).collect()[0]
+        assert (r["n_malformed"], r["n_zero"]) == (1, 0)
+        assert r["min_norm"] is None and r["avg_norm"] is None
