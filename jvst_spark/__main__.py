@@ -10,6 +10,14 @@
         code sink, src/main.c:413-417). Violations print to stderr as
         code\\tpath\\tmessage.
 
+Both commands accept:
+    -b/--base-uri URI    the schema document's retrieval URI (the
+                         reference's -b, src/main.c:184-187); relative
+                         $id/$ref resolve against it
+    --registry map.json  {absolute URI: local schema path} supplying
+                         cross-document $ref targets (loaded locally —
+                         the engine never fetches)
+
 Single-document runs use the compiled-Python evaluator directly (no
 Spark session — the per-document path is pure Python, exactly as the
 reference runs one VM per document). Table-scale validation goes
@@ -22,16 +30,41 @@ import json
 import sys
 
 
-def _load_spec(path: str):
+def _load_spec(path: str, base_uri: str = "", registry_path: str = ""):
     from jvst_spark.compiler import artifact
     from jvst_spark.compiler.plan import compile_schema
 
+    registry = None
+    if registry_path:
+        # {absolute URI: schema-file path} — loaded here, locally; the
+        # engine itself never fetches (the reference resolves only
+        # what its id table indexed, src/idtbl.h:11-89)
+        with open(registry_path) as f:
+            mapping = json.load(f)
+        registry = {}
+        for uri, spath in mapping.items():
+            with open(spath) as f:
+                registry[uri] = json.load(f)
     with open(path) as f:
         text = f.read()
     d = json.loads(text)
     if isinstance(d, dict) and d.get("format") == artifact.FORMAT_VERSION:
         return artifact.loads(text)
-    return compile_schema(d)
+    return compile_schema(d, registry, base_uri)
+
+
+def _take_opt(argv, flag, usage):
+    """Consume every occurrence of a valued flag (last wins); exits
+    via (None, True) on a missing value."""
+    val = ""
+    while flag in argv:
+        i = argv.index(flag)
+        if i + 1 >= len(argv):
+            print(usage, file=sys.stderr)
+            return None, True
+        val = argv[i + 1]
+        del argv[i : i + 2]
+    return val, False
 
 
 def main(argv=None) -> int:
@@ -40,6 +73,22 @@ def main(argv=None) -> int:
         print(__doc__)
         return 2
     cmd = argv.pop(0)
+    usage_common = (
+        f"usage: {cmd} <schema.json> [-b/--base-uri URI] "
+        "[--registry map.json] ..."
+    )
+    # -b: the document's retrieval URI (reference src/main.c:184-187);
+    # --registry: {absolute URI: local schema path} for cross-doc $ref
+    base_uri, err = _take_opt(argv, "--base-uri", usage_common)
+    if err:
+        return 2
+    if not base_uri:
+        base_uri, err = _take_opt(argv, "-b", usage_common)
+        if err:
+            return 2
+    registry_path, err = _take_opt(argv, "--registry", usage_common)
+    if err:
+        return 2
 
     if cmd == "compile":
         verbose = "-v" in argv and (argv.remove("-v") or True)
@@ -65,7 +114,13 @@ def main(argv=None) -> int:
             with open(argv[0]) as f:
                 print(dump_stages(json.load(f)))
             return 0
-        spec = _load_spec(argv[0])
+        try:
+            spec = _load_spec(argv[0], base_uri, registry_path)
+        except Exception as exc:  # malformed schema/registry: CLI
+            # error with the reason, never a traceback (reference
+            # prints the parse error and exits, src/main.c:252-262)
+            print(f"schema error: {exc}", file=sys.stderr)
+            return 2
         if verbose:
             from jvst_spark.spec.dump import pretty
 
@@ -100,7 +155,11 @@ def main(argv=None) -> int:
         from jvst_spark.compiler.pyeval import compile_explain
         from jvst_spark import errors as E
 
-        spec = _load_spec(argv[0])
+        try:
+            spec = _load_spec(argv[0], base_uri, registry_path)
+        except Exception as exc:
+            print(f"schema error: {exc}", file=sys.stderr)
+            return 2
         # --max-ref-depth: the engine's bounded-$ref cut (the (D+1)-th
         # re-entry evaluates as INVALID_UNEXPECTED_TOKEN), same
         # semantics as apply_json(max_ref_depth=...)

@@ -78,14 +78,17 @@ class CompiledSpec:
     defs: Dict[str, Node] = field(default_factory=dict)
 
 
-def compile_schema(schema, registry: Optional[Dict] = None) -> CompiledSpec:
+def compile_schema(
+    schema, registry: Optional[Dict] = None, base_uri: str = ""
+) -> CompiledSpec:
     """Run the full driver-side pipeline (jvst_compile_schema analogue,
     src/compile.c:7-21): translate -> simplify -> canonify.
 
     `registry` maps absolute URIs to raw schema documents for
     cross-document $ref (loaded from local sources by the caller — the
-    engine never fetches)."""
-    root, defs = translate_with_defs(schema, registry)
+    engine never fetches). `base_uri` is the schema document's
+    retrieval URI (the reference's -b flag)."""
+    root, defs = translate_with_defs(schema, registry, base_uri)
     return CompiledSpec(
         canonify(root), {u: canonify(n) for u, n in defs.items()}
     )

@@ -167,7 +167,12 @@ class _Translator:
     surface — refRemote-style, loaded from local sources; this engine
     never fetches)."""
 
-    def __init__(self, root_schema, registry: Dict[str, object] | None = None):
+    def __init__(
+        self,
+        root_schema,
+        registry: Dict[str, object] | None = None,
+        base_uri: str = "",
+    ):
         from urllib.parse import urljoin
 
         self.defs: Dict[str, Node] = {}
@@ -178,11 +183,15 @@ class _Translator:
         # Only fully-inlined (Ref-free) results cache; anything touching
         # a cycle keeps the per-site behavior.
         self._inline_memo: Dict[str, Node] = {}
-        root_base = ""
+        # document base URI: the externally-supplied retrieval URI
+        # (the reference's -b flag, src/main.c:184-187), with a root
+        # $id resolved AGAINST it per draft-6 §9.1 (an absolute $id
+        # simply replaces it)
+        root_base = base_uri or ""
         if isinstance(root_schema, dict):
             sid = root_schema.get("$id") or root_schema.get("id")
             if isinstance(sid, str):
-                root_base = sid
+                root_base = urljoin(root_base, sid) if root_base else sid
         self.root_ctx = _DocCtx(root_schema, root_base)
         # absolute URI -> _DocCtx for every document and every
         # $id-bearing subschema (nested $ids resolve against the
@@ -676,18 +685,26 @@ def _any_ref(node: Node) -> bool:
 
 
 def translate_with_defs(
-    schema, registry: Dict[str, object] | None = None
+    schema,
+    registry: Dict[str, object] | None = None,
+    base_uri: str = "",
 ) -> Tuple[Node, Dict[str, Node]]:
     """Translate a schema document; returns (root node, cyclic-def map).
     `registry` maps absolute URIs to raw schema documents for
     cross-document $ref resolution (refRemote-style, supplied locally —
-    the engine never fetches)."""
-    tr = _Translator(schema, registry)
+    the engine never fetches). `base_uri` is the document's retrieval
+    URI (the reference's -b, src/main.c:184-187): relative $ref/$id
+    resolve against it, letting registry keys be absolute."""
+    tr = _Translator(schema, registry, base_uri)
     root = tr.translate(schema)
     return root, dict(tr.defs)
 
 
-def translate(schema, registry: Dict[str, object] | None = None) -> Node:
+def translate(
+    schema,
+    registry: Dict[str, object] | None = None,
+    base_uri: str = "",
+) -> Node:
     """Translate a schema document to a ConstraintNode DAG (acyclic refs
     inlined; cyclic defs reachable via translate_with_defs)."""
-    return translate_with_defs(schema, registry)[0]
+    return translate_with_defs(schema, registry, base_uri)[0]

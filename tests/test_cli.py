@@ -133,3 +133,47 @@ def test_flag_errors_exit_2_not_traceback(tmp_path):
     r = run_cli("validate", str(schema), str(tmp_path / "missing.json"))
     assert r.returncode == 2 and "missing.json" in r.stderr
     assert "Traceback" not in r.stderr
+
+
+def test_base_uri_and_registry(tmp_path):
+    # the reference's -b (src/main.c:184-187): a RELATIVE $ref resolves
+    # against the supplied retrieval URI and lands in the registry
+    remote = tmp_path / "remote.json"
+    remote.write_text(json.dumps({"type": "integer"}))
+    reg = tmp_path / "registry.json"
+    reg.write_text(json.dumps(
+        {"http://example.com/remote.json": str(remote)}
+    ))
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"$ref": "remote.json"}))
+    good = tmp_path / "good.json"
+    good.write_text("3")
+    bad = tmp_path / "bad.json"
+    bad.write_text('"not an int"')
+
+    args = ("-b", "http://example.com/schema.json",
+            "--registry", str(reg))
+    assert run_cli("validate", *args, str(schema),
+                   str(good)).returncode == 0
+    assert run_cli("validate", *args, str(schema),
+                   str(bad)).returncode == 1
+    # without -b the relative ref is unresolvable: CLI error, not a
+    # verdict
+    r = run_cli("validate", "--registry", str(reg), str(schema),
+                str(good))
+    assert r.returncode == 2
+    assert "schema error" in r.stderr and "Traceback" not in r.stderr
+
+    # compile accepts the same flags and writes a runnable artifact
+    out = tmp_path / "plan.json"
+    assert run_cli("compile", *args, str(schema), "-o",
+                   str(out)).returncode == 0
+    assert run_cli("validate", str(out), str(good)).returncode == 0
+    assert run_cli("validate", str(out), str(bad)).returncode == 1
+
+
+def test_base_uri_missing_value_exits_2(tmp_path):
+    schema = tmp_path / "schema.json"
+    schema.write_text("{}")
+    r = run_cli("validate", str(schema), "-b")
+    assert r.returncode == 2 and "usage" in r.stderr

@@ -335,3 +335,47 @@ class TestRemoteRefFastPath:
         }
         spec = compile_schema({"$ref": "http://x/a.json"}, registry)
         assert try_lower_full(spec) is None
+
+
+class TestBaseUri:
+    """The reference's -b retrieval URI (src/main.c:184-187) at the
+    API level: relative refs resolve against compile_schema's
+    base_uri; a root $id resolves AGAINST the base."""
+
+    def test_relative_ref_via_base_uri(self):
+        from jvst_spark.compiler.plan import compile_schema
+        from jvst_spark.compiler.pyeval import compile_python
+
+        reg = {"http://h/other.json": {"type": "string"}}
+        spec = compile_schema(
+            {"$ref": "other.json"}, reg, base_uri="http://h/root.json"
+        )
+        run = compile_python(spec.root, spec.defs)
+        assert run("x") and not run(3)
+
+    def test_relative_root_id_joins_base(self):
+        from jvst_spark.compiler.plan import compile_schema
+        from jvst_spark.compiler.pyeval import compile_python
+
+        reg = {"http://h/a/other.json": {"type": "integer"}}
+        # root $id "a/self.json" against base http://h/ -> refs
+        # resolve inside http://h/a/
+        spec = compile_schema(
+            {"$id": "a/self.json", "$ref": "other.json"},
+            reg,
+            base_uri="http://h/",
+        )
+        run = compile_python(spec.root, spec.defs)
+        assert run(3) and not run("x")
+
+    def test_unresolvable_without_base(self):
+        import pytest
+
+        from jvst_spark.compiler.plan import compile_schema
+        from jvst_spark.spec.translate import SchemaError
+
+        with pytest.raises(SchemaError):
+            compile_schema(
+                {"$ref": "other.json"},
+                {"http://h/other.json": {"type": "string"}},
+            )
