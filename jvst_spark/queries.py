@@ -3081,6 +3081,79 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_audit(emb)
 
 
+# the suite's oracle REUSES the component queries' own oracle SQL as
+# subqueries — the report row provably summarizes exactly the frames
+# the individual oracles pin (registered after all components)
+_SUITE_SQL = f"""
+SELECT 'uniqueness:doc_id' AS check_name,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       CAST(n_bad AS DOUBLE) AS metric, n_bad = 0 AS passed
+FROM (SELECT count(*) AS n_bad FROM ({_ORACLES["tbl_unique_dup_keys"]}))
+UNION ALL
+SELECT 'referential:media_ref', CAST(n_bad AS BIGINT),
+       CAST(n_bad AS DOUBLE), n_bad = 0
+FROM (SELECT count(*) AS n_bad
+      FROM ({_ORACLES["tbl_ref_dangling_media"]}))
+UNION ALL
+SELECT 'drift_psi:click_vs_error',
+       CAST(CASE WHEN psi > 0.25 THEN 1 ELSE 0 END AS BIGINT),
+       CAST(psi AS DOUBLE), psi <= 0.25
+FROM ({_ORACLES["tbl_drift_psi"]})
+UNION ALL
+SELECT 'freshness:events_daily', CAST(n_bad AS BIGINT),
+       CAST(n_bad AS DOUBLE), n_bad = 0
+FROM (SELECT count(*) AS n_bad
+      FROM ({_ORACLES["tbl_freshness_gaps"]})
+      WHERE is_missing OR below_min)
+UNION ALL
+SELECT 'outliers:event_value', CAST(n_bad AS BIGINT),
+       CAST(n_bad AS DOUBLE), n_bad = 0
+FROM (SELECT count(*) AS n_bad
+      FROM ({_ORACLES["events_value_anomaly"]}))
+"""
+
+
+@query("suite_table_checks", _SUITE_SQL)
+def suite_table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check-suite runner (table_checks/suite.py): uniqueness,
+    referential integrity, distribution drift, freshness, and
+    row-outliers as ONE declared suite -> one report row per check —
+    the Deequ-VerificationSuite shape over this engine's own checks.
+    Every check reduces to a 1-row aggregate before the O(checks)-row
+    union; the suite costs what its checks cost, nothing more."""
+    from jvst_spark.table_checks.suite import (
+        count_check,
+        suite_report,
+        threshold_check,
+    )
+
+    checks = [
+        count_check(
+            "uniqueness:doc_id", tbl_unique_dup_keys(spark, sf_dir)
+        ),
+        count_check(
+            "referential:media_ref",
+            tbl_ref_dangling_media(spark, sf_dir),
+        ),
+        threshold_check(
+            "drift_psi:click_vs_error",
+            tbl_drift_psi(spark, sf_dir),
+            "psi",
+            0.25,
+        ),
+        count_check(
+            "freshness:events_daily",
+            tbl_freshness_gaps(spark, sf_dir).filter(
+                "is_missing OR below_min"
+            ),
+        ),
+        count_check(
+            "outliers:event_value", events_value_anomaly(spark, sf_dir)
+        ),
+    ]
+    return suite_report(checks)
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

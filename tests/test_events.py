@@ -289,3 +289,35 @@ class TestEmbNormAudit:
         r = embedding_norm_audit(df).collect()[0]
         assert (r["n_malformed"], r["n_zero"]) == (1, 0)
         assert r["min_norm"] is None and r["avg_norm"] is None
+
+
+class TestCheckSuite:
+    def test_count_and_threshold_checks(self, spark):
+        from jvst_spark.table_checks.suite import (
+            count_check,
+            suite_report,
+            threshold_check,
+        )
+
+        bad = spark.createDataFrame([(1,), (2,)], "k bigint")
+        clean = bad.filter("k < 0")
+        metric = spark.createDataFrame([(0.31,)], "psi double")
+        rep = {
+            r["check_name"]: (r["n_bad"], r["metric"], r["passed"])
+            for r in suite_report(
+                [
+                    count_check("dups", bad),
+                    count_check("clean", clean),
+                    threshold_check("psi", metric, "psi", 0.25),
+                ]
+            ).collect()
+        }
+        assert rep["dups"] == (2, 2.0, False)
+        assert rep["clean"] == (0, 0.0, True)
+        assert rep["psi"] == (1, 0.31, False)
+
+    def test_empty_suite_rejected(self, spark):
+        from jvst_spark.table_checks.suite import suite_report
+
+        with pytest.raises(ValueError):
+            suite_report([])
