@@ -3081,6 +3081,60 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_audit(emb)
 
 
+@query(
+    "tbl_cardinality_drift",
+    # day-over-day distinct-entity cardinality: the monitor that
+    # catches a logging regression (user ids suddenly constant) or an
+    # id-space explosion (bot flood) before either poisons training.
+    # Exact distincts per day (O(days x users) agg rows), deltas via
+    # lag over the tiny per-day frame; |relative change| > 0.5 flags.
+    """
+WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                    AS day_idx,
+                  count(DISTINCT user_id) AS n_users
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1),
+l AS (SELECT day_idx, n_users,
+             lag(n_users) OVER (ORDER BY day_idx) AS prev
+      FROM d)
+SELECT day_idx, n_users, prev,
+       round(CASE WHEN prev > 0
+                  THEN (n_users - prev) * 1.0 / prev END, 6) AS rel_change,
+       coalesce(abs(CASE WHEN prev > 0
+                         THEN (n_users - prev) * 1.0 / prev END)
+                > 0.5, FALSE) AS flagged
+FROM l
+""",
+)
+def tbl_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality monitor: exact distinct entities per day (one
+    map-side-combined two-level aggregate), day-over-day relative
+    change via lag over the O(days)-row frame, flags at |change| >
+    50%. At web scale the exact distinct swaps for HLL++
+    (approx_count_distinct) behind the same report shape — exact here
+    so the oracle hash-pins the machinery."""
+    from jvst_spark.ops.sessions import day_index
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    d = (
+        ev.select(day_index(ev, "ts").alias("day_idx"), "user_id")
+        .groupBy("day_idx")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    w = Window.orderBy("day_idx")
+    prev = F.lag("n_users").over(w)
+    rel = F.when(prev > 0, (F.col("n_users") - prev) / prev)
+    return d.select(
+        "day_idx",
+        "n_users",
+        prev.alias("prev"),
+        F.round(rel, 6).alias("rel_change"),
+        F.coalesce(F.abs(rel) > 0.5, F.lit(False)).alias("flagged"),
+    )
+
+
 # the suite's oracle REUSES the component queries' own oracle SQL as
 # subqueries — the report row provably summarizes exactly the frames
 # the individual oracles pin (registered after all components)
