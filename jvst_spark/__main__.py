@@ -30,25 +30,40 @@ import json
 import sys
 
 
+def _load_registry(registry_path: str):
+    """{absolute URI: schema-file path} — loaded here, locally; the
+    engine itself never fetches (the reference resolves only what its
+    id table indexed, src/idtbl.h:11-89)."""
+    if not registry_path:
+        return None
+    with open(registry_path) as f:
+        mapping = json.load(f)
+    registry = {}
+    for uri, spath in mapping.items():
+        with open(spath) as f:
+            registry[uri] = json.load(f)
+    return registry
+
+
 def _load_spec(path: str, base_uri: str = "", registry_path: str = ""):
     from jvst_spark.compiler import artifact
     from jvst_spark.compiler.plan import compile_schema
 
-    registry = None
-    if registry_path:
-        # {absolute URI: schema-file path} — loaded here, locally; the
-        # engine itself never fetches (the reference resolves only
-        # what its id table indexed, src/idtbl.h:11-89)
-        with open(registry_path) as f:
-            mapping = json.load(f)
-        registry = {}
-        for uri, spath in mapping.items():
-            with open(spath) as f:
-                registry[uri] = json.load(f)
+    registry = _load_registry(registry_path)
     with open(path) as f:
         text = f.read()
     d = json.loads(text)
     if isinstance(d, dict) and d.get("format") == artifact.FORMAT_VERSION:
+        if base_uri or registry_path:
+            # an artifact is already fully resolved — silently
+            # dropping the flags would run under different resolution
+            # semantics than the user asked for
+            print(
+                "warning: -b/--base-uri/--registry have no effect on a "
+                "compiled artifact (resolution happened at compile "
+                "time)",
+                file=sys.stderr,
+            )
         return artifact.loads(text)
     return compile_schema(d, registry, base_uri)
 
@@ -79,13 +94,16 @@ def main(argv=None) -> int:
     )
     # -b: the document's retrieval URI (reference src/main.c:184-187);
     # --registry: {absolute URI: local schema path} for cross-doc $ref
-    base_uri, err = _take_opt(argv, "--base-uri", usage_common)
+    # consume BOTH spellings unconditionally (leftover '-b URI' tokens
+    # would otherwise be misread as positional paths); --base-uri wins
+    # when both are given
+    long_uri, err = _take_opt(argv, "--base-uri", usage_common)
     if err:
         return 2
-    if not base_uri:
-        base_uri, err = _take_opt(argv, "-b", usage_common)
-        if err:
-            return 2
+    short_uri, err = _take_opt(argv, "-b", usage_common)
+    if err:
+        return 2
+    base_uri = long_uri or short_uri
     registry_path, err = _take_opt(argv, "--registry", usage_common)
     if err:
         return 2
@@ -111,8 +129,13 @@ def main(argv=None) -> int:
             # src/main.c:292-350): translated / simplified / canonified
             from jvst_spark.spec.dump import dump_stages
 
-            with open(argv[0]) as f:
-                print(dump_stages(json.load(f)))
+            try:
+                registry = _load_registry(registry_path)
+                with open(argv[0]) as f:
+                    print(dump_stages(json.load(f), registry, base_uri))
+            except Exception as exc:
+                print(f"schema error: {exc}", file=sys.stderr)
+                return 2
             return 0
         try:
             spec = _load_spec(argv[0], base_uri, registry_path)

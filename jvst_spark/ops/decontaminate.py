@@ -134,14 +134,21 @@ def exact_snippet_overlap(
     snips = snippets.filter(
         F.col(snip_col).isNotNull() & (F.length(snip_col) > 0)
     )
-    hits = corpus.join(
-        F.broadcast(snips),
-        F.col(text_col).contains(F.col(snip_col)),
+    # alias-qualified references throughout: a snippet frame derived
+    # from the same documents table legitimately carries text/doc_id
+    # columns of its own (unqualified F.col would be ambiguous), and
+    # the two frames often share LINEAGE (corpus rows planted from the
+    # snippet set), which defeats dataframe-attribute qualification —
+    # explicit string aliases survive both
+    c = corpus.alias("_jvst_corpus")
+    sn = snips.alias("_jvst_snips")
+    hits = c.join(
+        F.broadcast(sn),
+        F.col(f"_jvst_corpus.{text_col}").contains(
+            F.col(f"_jvst_snips.{snip_col}")
+        ),
     )
-    # group on the CORPUS side's id attribute explicitly: the snippet
-    # frame may legitimately carry its own id_col-named column (it is
-    # often derived from the same documents table)
-    return hits.groupBy(corpus[id_col]).agg(
+    return hits.groupBy(F.col(f"_jvst_corpus.{id_col}")).agg(
         F.count("*").alias("n_hits"),
-        F.min(snip_id_col).alias("first_snip"),
+        F.min(F.col(f"_jvst_snips.{snip_id_col}")).alias("first_snip"),
     )

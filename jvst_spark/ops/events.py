@@ -85,6 +85,13 @@ def funnel_steps(
         F.struct(us.alias("us"), F.col(type_col).alias("t")).alias("e"),
     )
     if max_events_per_user is not None:
+        if int(max_events_per_user) < 1:
+            # a zero/negative cap drops every event — a silently dead
+            # funnel, not a configuration anyone means
+            raise ValueError(
+                "max_events_per_user must be >= 1, got "
+                f"{max_events_per_user}"
+            )
         # earliest-N cap per entity: the window shares the groupBy's
         # partitioning, so the cap costs no extra exchange; it bounds
         # both the collected array and the fold's work per row
@@ -95,10 +102,15 @@ def funnel_steps(
         )
         ranked = ev.withColumn("_rn", F.row_number().over(w))
         if log_overflow:
+            # opt-in diagnostic: this is an EXTRA aggregation job at
+            # call time (a count per entity, no sort) on top of the
+            # lazy funnel itself — the price of a log line that must
+            # fire before any action on the returned frame
             n_capped = (
-                ranked.filter(
-                    F.col("_rn") == int(max_events_per_user) + 1
-                ).count()
+                ev.groupBy("user_id")
+                .count()
+                .filter(F.col("count") > int(max_events_per_user))
+                .count()
             )
             if n_capped:
                 logger.warning(

@@ -3094,9 +3094,13 @@ WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
                   count(DISTINCT user_id) AS n_users
            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
            GROUP BY 1),
+s AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM d),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM s),
+f AS (SELECT spine.day_idx, coalesce(d.n_users, 0) AS n_users
+      FROM spine LEFT JOIN d USING (day_idx)),
 l AS (SELECT day_idx, n_users,
              lag(n_users) OVER (ORDER BY day_idx) AS prev
-      FROM d)
+      FROM f)
 SELECT day_idx, n_users, prev,
        round(CASE WHEN prev > 0
                   THEN (n_users - prev) * 1.0 / prev END, 6) AS rel_change,
@@ -3108,31 +3112,18 @@ FROM l
 )
 def tbl_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality monitor: exact distinct entities per day (one
-    map-side-combined two-level aggregate), day-over-day relative
-    change via lag over the O(days)-row frame, flags at |change| >
-    50%. At web scale the exact distinct swaps for HLL++
+    map-side-combined two-level aggregate), compared DAY-OVER-DAY
+    along the full observed day SPINE — a fully missing day lands as
+    n_users = 0 and flags as a total collapse (rel_change = -1.0)
+    instead of silently vanishing from the lag pairing; the day after
+    an outage has prev = 0 and an undefined (NULL) rel_change. Flags
+    at |change| > 50%. At web scale the exact distinct swaps for HLL++
     (approx_count_distinct) behind the same report shape — exact here
     so the oracle hash-pins the machinery."""
-    from jvst_spark.ops.sessions import day_index
+    from jvst_spark.table_checks.drift import cardinality_drift
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-        "ts IS NOT NULL AND user_id IS NOT NULL"
-    )
-    d = (
-        ev.select(day_index(ev, "ts").alias("day_idx"), "user_id")
-        .groupBy("day_idx")
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
-    w = Window.orderBy("day_idx")
-    prev = F.lag("n_users").over(w)
-    rel = F.when(prev > 0, (F.col("n_users") - prev) / prev)
-    return d.select(
-        "day_idx",
-        "n_users",
-        prev.alias("prev"),
-        F.round(rel, 6).alias("rel_change"),
-        F.coalesce(F.abs(rel) > 0.5, F.lit(False)).alias("flagged"),
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cardinality_drift(ev, "user_id", "ts", rel_threshold=0.5)
 
 
 # the suite's oracle REUSES the component queries' own oracle SQL as
@@ -3150,8 +3141,9 @@ FROM (SELECT count(*) AS n_bad
       FROM ({_ORACLES["tbl_ref_dangling_media"]}))
 UNION ALL
 SELECT 'drift_psi:click_vs_error',
-       CAST(CASE WHEN psi > 0.25 THEN 1 ELSE 0 END AS BIGINT),
-       CAST(psi AS DOUBLE), psi <= 0.25
+       CAST(coalesce(CASE WHEN psi > 0.25 THEN 1
+                          WHEN psi <= 0.25 THEN 0 END, 1) AS BIGINT),
+       CAST(psi AS DOUBLE), coalesce(psi <= 0.25, FALSE)
 FROM ({_ORACLES["tbl_drift_psi"]})
 UNION ALL
 SELECT 'freshness:events_daily', CAST(n_bad AS BIGINT),

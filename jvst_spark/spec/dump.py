@@ -116,13 +116,13 @@ def pretty(node: Node, indent: int = 0) -> str:
     return f"{pad}{node!r}"
 
 
-def dump_stages(schema, registry=None) -> str:
+def dump_stages(schema, registry=None, base_uri: str = "") -> str:
     """All three compile stages, labeled — the `jvst -d` analogue."""
     from jvst_spark.spec.canonify import canonify
     from jvst_spark.spec.simplify import simplify
     from jvst_spark.spec.translate import translate_with_defs
 
-    root, defs = translate_with_defs(schema, registry)
+    root, defs = translate_with_defs(schema, registry, base_uri)
     out = ["==== stage: translated (cnode analogue) ====", pretty(root)]
     for uri, node in sorted(defs.items()):
         out += [f"-- def {uri}:", pretty(node)]

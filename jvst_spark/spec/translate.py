@@ -218,12 +218,19 @@ class _Translator:
         if ctx.base:
             self.anchors.setdefault(ctx.base, ctx)
 
-        def walk(raw, base, root):
+        def walk(raw, base, root, is_doc_root=False):
             # `raw` is always a schema position here; booleans carry
             # no $id and no children
             if not isinstance(raw, dict):
                 return
             sid = raw.get("$id") or raw.get("id")
+            # the DOCUMENT root's own $id is already folded into
+            # `base` by __init__/registry registration — joining it
+            # again would double the path segment (a/self.json against
+            # http://h/a/self.json -> http://h/a/a/self.json) and
+            # register every nested anchor under the wrong URI
+            if is_doc_root:
+                sid = None
             if isinstance(sid, str):
                 if sid.startswith("#"):
                     # plain-name fragment: an anchor in the current
@@ -262,7 +269,7 @@ class _Translator:
                         if isinstance(sub, dict):
                             walk(sub, base, root)
 
-        walk(ctx.raw, ctx.base, ctx.root)
+        walk(ctx.raw, ctx.base, ctx.root, is_doc_root=True)
 
     def resolve_raw(self, uri: str, ctx: _DocCtx | None = None):
         """Resolve a $ref URI against `ctx` (default: the root document)

@@ -275,3 +275,49 @@ def psi_timeline(
             6,
         ).alias("psi")
     )
+
+
+def cardinality_drift(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Day-over-day distinct-entity cardinality monitor along the full
+    observed day SPINE: a fully missing day lands as n_users = 0 and
+    flags as a total collapse (rel_change = -1.0) instead of silently
+    vanishing from the lag pairing; the day after an outage has
+    prev = 0 and an undefined (NULL) rel_change, which does not flag.
+    Exact distincts (two-level map-side-combined aggregate); at web
+    scale swap approx_count_distinct behind the same report shape."""
+    from jvst_spark.ops.sessions import day_index
+
+    ev = df.filter(
+        F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
+    )
+    d = (
+        ev.select(day_index(ev, ts_col).alias("day_idx"), entity_col)
+        .groupBy("day_idx")
+        .agg(F.countDistinct(entity_col).alias("n_users"))
+    )
+    span = d.agg(
+        F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day_idx")
+    )
+    full = spine.join(F.broadcast(d), "day_idx", "left").select(
+        "day_idx", F.coalesce("n_users", F.lit(0)).alias("n_users")
+    )
+    w = Window.orderBy("day_idx")
+    prev = F.lag("n_users").over(w)
+    rel = F.when(prev > 0, (F.col("n_users") - prev) / prev)
+    return full.select(
+        "day_idx",
+        "n_users",
+        prev.alias("prev"),
+        F.round(rel, 6).alias("rel_change"),
+        F.coalesce(
+            F.abs(rel) > F.lit(float(rel_threshold)), F.lit(False)
+        ).alias("flagged"),
+    )

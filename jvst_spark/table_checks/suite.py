@@ -44,12 +44,22 @@ def threshold_check(
 ) -> Check:
     """A check over a 1-row metric frame: passes iff metric <=
     threshold. Callers hand in an already-rounded metric (the engine's
-    convention) so the cut replays identically in any engine."""
+    convention) so the cut replays identically in any engine.
+
+    The metric frame is AGGREGATED to exactly one row, so a check
+    whose input vanished (the metric query returned zero rows — e.g.
+    the monitored slice is empty) still lands in the report: metric
+    NULL, passed FALSE. A declared check silently missing from the
+    nightly report is the one failure mode alerting can never catch.
+    (Multi-row frames are a caller error; max() makes the collapse
+    deterministic rather than first-row-wins.)"""
     t = F.lit(float(threshold))
-    one = metric_df.select(
-        (F.col(metric_col) > t).cast("long").alias("n_bad"),
-        F.col(metric_col).cast("double").alias("metric"),
-        (F.col(metric_col) <= t).alias("passed"),
+    one = metric_df.agg(F.max(metric_col).alias("_m")).select(
+        F.coalesce((F.col("_m") > t).cast("long"), F.lit(1)).alias(
+            "n_bad"
+        ),
+        F.col("_m").cast("double").alias("metric"),
+        F.coalesce(F.col("_m") <= t, F.lit(False)).alias("passed"),
     )
     return (name, one)
 

@@ -177,3 +177,46 @@ def test_base_uri_missing_value_exits_2(tmp_path):
     schema.write_text("{}")
     r = run_cli("validate", str(schema), "-b")
     assert r.returncode == 2 and "usage" in r.stderr
+
+
+def test_both_base_uri_spellings_consumed(tmp_path):
+    # both -b and --base-uri given: --base-uri wins and the leftover
+    # -b tokens must not be misread as positional document paths
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"type": "integer"}))
+    good = tmp_path / "good.json"
+    good.write_text("3")
+    r = run_cli("validate", "--base-uri", "http://a/", "-b", "http://b/",
+                str(schema), str(good))
+    assert r.returncode == 0, r.stderr
+
+
+def test_dump_honors_registry_and_base(tmp_path):
+    remote = tmp_path / "remote.json"
+    remote.write_text(json.dumps({"type": "integer"}))
+    reg = tmp_path / "registry.json"
+    reg.write_text(json.dumps(
+        {"http://example.com/remote.json": str(remote)}
+    ))
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"$ref": "remote.json"}))
+    r = run_cli("compile", "--dump", "-b", "http://example.com/s.json",
+                "--registry", str(reg), str(schema))
+    assert r.returncode == 0, r.stderr
+    assert "stage: canonified" in r.stdout
+    # without the flags the ref is unresolvable: clean error, exit 2
+    r2 = run_cli("compile", "--dump", str(schema))
+    assert r2.returncode == 2
+    assert "schema error" in r2.stderr and "Traceback" not in r2.stderr
+
+
+def test_artifact_warns_on_resolution_flags(tmp_path):
+    schema = tmp_path / "schema.json"
+    schema.write_text(json.dumps({"type": "integer"}))
+    out = tmp_path / "plan.json"
+    assert run_cli("compile", str(schema), "-o", str(out)).returncode == 0
+    good = tmp_path / "good.json"
+    good.write_text("3")
+    r = run_cli("validate", "-b", "http://h/", str(out), str(good))
+    assert r.returncode == 0
+    assert "no effect on a compiled artifact" in r.stderr

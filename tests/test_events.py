@@ -21,7 +21,7 @@ from jvst_spark.ops.events import (
 def _ev(spark, rows):
     return spark.createDataFrame(
         [(u, datetime.utcfromtimestamp(s), t) for (u, s, t) in rows],
-        "user_id bigint, ts timestamp, event_type string",
+        "user_id bigint, ts timestamp_ntz, event_type string",
     )
 
 
@@ -164,7 +164,7 @@ class TestFreshness:
     def test_null_ts_filtered(self, spark):
         ev = spark.createDataFrame(
             [(1, None, "view")],
-            "user_id bigint, ts timestamp, event_type string",
+            "user_id bigint, ts timestamp_ntz, event_type string",
         )
         assert freshness_gaps(ev).count() == 0
 
@@ -321,3 +321,57 @@ class TestCheckSuite:
 
         with pytest.raises(ValueError):
             suite_report([])
+
+
+class TestCardinalityDrift:
+    def test_missing_day_flags_as_collapse(self, spark):
+        from jvst_spark.table_checks.drift import cardinality_drift
+
+        day = 86400
+        rows = []
+        # day 0: 4 users; day 1: MISSING; day 2: 2 users
+        rows += [(u, 0 * day + u, "view") for u in range(1, 5)]
+        rows += [(u, 2 * day + u, "view") for u in (1, 2)]
+        ev = spark.createDataFrame(
+            [(u, datetime.utcfromtimestamp(s), t) for u, s, t in rows],
+            "user_id bigint, ts timestamp_ntz, event_type string",
+        )
+        out = {
+            r["day_idx"]: (
+                r["n_users"], r["prev"], r["rel_change"], r["flagged"]
+            )
+            for r in cardinality_drift(ev).collect()
+        }
+        assert out[0] == (4, None, None, False)
+        # the outage day exists on the spine and flags as -100%
+        assert out[1] == (0, 4, -1.0, True)
+        # the day after: prev = 0 -> undefined change, no flag
+        assert out[2] == (2, 0, None, False)
+
+
+class TestSuiteEmptyMetric:
+    def test_threshold_check_survives_empty_metric_frame(self, spark):
+        from jvst_spark.table_checks.suite import (
+            suite_report,
+            threshold_check,
+        )
+
+        empty = spark.createDataFrame([], "psi double")
+        rep = suite_report(
+            [threshold_check("drift", empty, "psi", 0.25)]
+        ).collect()
+        assert len(rep) == 1
+        r = rep[0]
+        assert (r["check_name"], r["n_bad"], r["passed"]) == (
+            "drift", 1, False,
+        )
+        assert r["metric"] is None
+
+
+class TestFunnelCapValidation:
+    def test_zero_cap_rejected(self, spark):
+        with pytest.raises(ValueError):
+            funnel_steps(
+                _ev(spark, [(1, 100, "view")]), STEPS,
+                max_events_per_user=0,
+            )

@@ -57,7 +57,7 @@ def test_funnel_matches_reference(spark):
         rows = _random_events(seed)
         ev = spark.createDataFrame(
             [(u, datetime.utcfromtimestamp(s), t) for u, s, t in rows],
-            "user_id bigint, ts timestamp, event_type string",
+            "user_id bigint, ts timestamp_ntz, event_type string",
         )
         got = {
             r["step"]: r["n_users"]
@@ -71,7 +71,7 @@ def test_retention_matches_reference(spark):
     rows = _random_events(11)
     ev = spark.createDataFrame(
         [(u, datetime.utcfromtimestamp(s), t) for u, s, t in rows],
-        "user_id bigint, ts timestamp, event_type string",
+        "user_id bigint, ts timestamp_ntz, event_type string",
     )
     got = {
         (r["cohort_day"], r["day_offset"]): (

@@ -379,3 +379,26 @@ class TestBaseUri:
                 {"$ref": "other.json"},
                 {"http://h/other.json": {"type": "string"}},
             )
+
+
+class TestBaseUriNestedId:
+    def test_nested_id_not_double_joined(self):
+        # regression: the root $id used to be re-joined against the
+        # already-joined base while indexing anchors, registering
+        # nested $ids under http://h/a/a/... and breaking their refs
+        from jvst_spark.compiler.plan import compile_schema
+        from jvst_spark.compiler.pyeval import compile_python
+
+        spec = compile_schema(
+            {
+                "$id": "a/self.json",
+                "definitions": {
+                    "d": {"$id": "other.json", "type": "integer"}
+                },
+                "$ref": "other.json",
+            },
+            None,
+            base_uri="http://h/",
+        )
+        run = compile_python(spec.root, spec.defs)
+        assert run(3) and not run("x")
