@@ -37,12 +37,20 @@ def word_chunks(toks: Column, n: int = 8) -> Column:
     structure. The final chunk may be shorter than n; rejoining all
     chunks with single spaces reproduces the token join exactly, so
     chunk removal composes losslessly with reconstruction."""
-    size = F.size(toks)
-    n_chunks = F.ceil(size / F.lit(float(n))).cast("long")
-    return F.when(size > 0, F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda j: F.concat_ws(" ", F.slice(toks, j * n + 1, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    from jvst_spark.ops._expr import let_bound
+
+    # let-bind the token array: slicing an unbound `toks` EXPRESSION
+    # inside the per-chunk lambda re-derives the tokenization once per
+    # chunk — O(n^2/chunk) per document (same trap word_shingles fixes)
+    def build(tk: Column) -> Column:
+        size = F.size(tk)
+        n_chunks = F.ceil(size / F.lit(float(n))).cast("long")
+        return F.when(size > 0, F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda j: F.concat_ws(" ", F.slice(tk, j * n + 1, n)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(toks, build)
 
 
 def remove_frequent_segments(
@@ -70,32 +78,45 @@ def remove_frequent_segments(
         .where(F.col("_docs") >= F.lit(int(min_docs)))
         .select("_h")
     )
+    # reconstruction shuffles POSITIONS, not text (round-6): the
+    # anti-join emits only each document's kept (int) positions, the
+    # per-doc position list aggregates on narrow rows, and clean_text
+    # rebuilds by indexing the document's OWN segments array after a
+    # join back — the corpus text itself never re-shuffles (the
+    # previous plan collect_list'ed every kept (pos, segment-text)
+    # struct through the doc_id exchange; on a boilerplate-heavy
+    # corpus that is the whole corpus body).
     kept = (
         seg.withColumn("_h", F.md5(F.col("_seg")))
         .join(freq, "_h", "left_anti")
         .groupBy(id_col)
-        .agg(
-            F.count("*").alias("_n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
-                    lambda s: s["_seg"],
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
+        .agg(F.collect_list("_pos").alias("_kept_pos"))
+    )
+    segs = F.col("_segs")
+    clean = F.array_join(
+        F.transform(
+            F.array_sort("_kept_pos"),
+            lambda p: F.element_at(segs, p + 1),
+        ),
+        " ",
     )
     return (
-        df.select(id_col, F.size(segments_col).alias("n_segments"))
+        df.select(
+            id_col,
+            F.col(segments_col).alias("_segs"),
+            F.size(segments_col).alias("n_segments"),
+        )
         .join(kept, id_col, "left")
         .select(
             id_col,
             "n_segments",
             (
                 F.col("n_segments")
-                - F.coalesce(F.col("_n_kept"), F.lit(0))
+                - F.coalesce(F.size("_kept_pos"), F.lit(0))
             ).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.when(F.col("_kept_pos").isNotNull(), clean)
+            .otherwise(F.lit(""))
+            .alias("clean_text"),
         )
     )
 
@@ -116,14 +137,19 @@ def corpus_frequent_ngrams(
     One explode + one map-side-combined groupBy on the gram string;
     output is only the repeated tail, never the full gram inventory.
     """
+    from jvst_spark.ops._expr import let_bound
     from jvst_spark.ops.text import tokens
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    # let-bound token array (see word_chunks): the per-gram slice must
+    # read an attribute, not re-run the tokenization per gram
+    def build(tk):
+        n = F.size(tk)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)),
+        )
+
+    grams = let_bound(tokens(F.col(text_col)), build)
     return (
         df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("gram"))
         .groupBy("gram")

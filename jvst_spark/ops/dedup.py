@@ -573,10 +573,24 @@ def simhash_near_pairs(
             else simhash_signatures(df, text_col)
         )
     chunks = _simhash_chunks(sig)
+    # the 64-bit signature rides through banding as TWO longs (binary
+    # string halves via conv base 2): hamming then costs two
+    # bit_count(xor) calls per candidate pair instead of materializing
+    # 2x64-element char arrays (split + zip_with) per pair — the
+    # dominant per-pair cost when low-entropy corpora make chunk
+    # buckets hot (round-6 measurement: the pair stage evaluated the
+    # array hamming on every within-bucket pair BEFORE the distinct).
+    # struct(doc_id, hi, lo) sorts identically to (doc_id, simhash):
+    # both halves are 32-bit non-negative, so numeric order == the
+    # fixed-width binary string's lexicographic order.
+    _hi = F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long")
+    _lo = F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")
     buckets = _capped_buckets(
         chunks,
         ["chunk", "key"],
-        F.struct("doc_id", "simhash"),
+        F.struct(
+            F.col("doc_id"), _hi.alias("hi"), _lo.alias("lo")
+        ),
         ["doc_id", "simhash"],
         max_bucket_size,
     )
@@ -595,32 +609,38 @@ def simhash_near_pairs(
         )
         .select(
             F.col("m.doc_id").alias("doc_a"),
-            F.col("m.simhash").alias("sig_a"),
+            F.col("m.hi").alias("_ahi"),
+            F.col("m.lo").alias("_alo"),
             F.explode(
                 F.slice("members", F.col("i") + 2, F.size("members"))
             ).alias("n"),
         )
         .select(
-            "doc_a",
+            "doc_a", "_ahi", "_alo",
             F.col("n.doc_id").alias("doc_b"),
-            "sig_a",
-            F.col("n.simhash").alias("sig_b"),
+            F.col("n.hi").alias("_bhi"),
+            F.col("n.lo").alias("_blo"),
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .distinct()
     )
-    ham = F.size(
-        F.filter(
-            F.zip_with(
-                F.split("sig_a", ""), F.split("sig_b", ""),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
+    ham = (
+        F.bit_count(F.col("_ahi").bitwiseXOR(F.col("_bhi")))
+        + F.bit_count(F.col("_alo").bitwiseXOR(F.col("_blo")))
+    ).cast("int")
+    # filter BEFORE the distinct: the shuffle then carries only
+    # verified near-pairs, not every within-bucket candidate. The
+    # distinct key keeps both signatures (hi/lo pairs are bijective
+    # with the signature strings), so output multiplicity is identical
+    # to the previous distinct-then-filter plan.
+    return (
+        cand.select(
+            "doc_a", "doc_b", ham.alias("hamming"),
+            "_ahi", "_alo", "_bhi", "_blo",
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .select("doc_a", "doc_b", "hamming")
     )
-    return cand.select(
-        "doc_a", "doc_b", ham.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def near_dup_components(

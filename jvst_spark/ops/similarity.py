@@ -57,11 +57,19 @@ def brute_force_topk(
     once — one wide map + a per-query-partitioned window."""
     from pyspark.sql import Window
 
+    # norms precomputed per VECTOR in the join inputs (round-6): the
+    # fused cosine_expr re-derived both norms per PAIR — 2/3 of the
+    # per-pair fold work. dot/(qn*nn) is the same expression tree as
+    # cosine_expr evaluates, so the rounded sim is bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
     )
     c = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm_expr(F.col(vec_col)).alias("_nn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -69,7 +77,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("sim"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("nv"))
+                / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -137,7 +149,15 @@ def near_dup_pairs_blocked(
     if n_blocks is None:
         # an aggregate (count), not a collect of rows: O(1) result size
         n = emb.count()
-        n_blocks = max(1, math.ceil(n / block_rows))
+        # block count floor (round-6): B(B+1)/2 block-pair tasks must
+        # cover the cluster, or a small corpus runs its GEMMs on a
+        # handful of cores (n=20k at the default block_rows gave B=3 ->
+        # 6 tasks on 32 cores). The result is identical for ANY B (the
+        # block pairs partition the same all-pairs set); only task
+        # granularity changes.
+        par = spark.sparkContext.defaultParallelism
+        min_b = max(1, math.ceil((math.sqrt(8.0 * 2 * par + 1) - 1) / 2))
+        n_blocks = max(1, math.ceil(n / block_rows), min_b)
     B = int(n_blocks)
     pair_rows = [(i, j) for i in range(B) for j in range(i, B)]
 
@@ -175,8 +195,14 @@ def near_dup_pairs_blocked(
         rm /= np.linalg.norm(rm, axis=1, keepdims=True)
         lids = l["vid"].to_numpy()
         rids = r["vid"].to_numpy()
-        sims = np.round(lm @ rm.T, 6)
-        mask = sims >= threshold
+        sims = lm @ rm.T
+        # round ONLY the surviving entries (round-6): np.round over the
+        # full block-pair matrix was the dominant cost of the stage
+        # (O(|l|*|r|) rounds vs O(survivors)). The unrounded prefilter
+        # uses a 1e-6 guard band so it is a strict superset of
+        # round(sim, 6) >= threshold; the exact rounded comparison then
+        # decides, so output is bit-identical.
+        mask = sims >= (threshold - 1e-6)
         if key[0] == key[1]:
             # diagonal block: both orderings present -> keep a < b
             mask &= lids[:, None] < rids[None, :]
@@ -185,6 +211,11 @@ def near_dup_pairs_blocked(
         ii, jj = np.nonzero(mask)
         if not len(ii):
             return empty
+        vals = np.round(sims[ii, jj], 6)
+        keep = vals >= threshold
+        if not keep.any():
+            return empty
+        ii, jj, vals = ii[keep], jj[keep], vals[keep]
         a, b = lids[ii], rids[jj]
         # off-diagonal pairs appear exactly once (i-side left, j-side
         # right); canonicalize to id_a < id_b
@@ -192,7 +223,7 @@ def near_dup_pairs_blocked(
             {
                 "id_a": np.minimum(a, b),
                 "id_b": np.maximum(a, b),
-                "sim": sims[ii, jj],
+                "sim": vals,
             }
         )
 
@@ -372,10 +403,18 @@ def ivf_ann_topk(
         .select("q_id", "n_id")
         .distinct()
     )
+    # per-vector norm precompute (see brute_force_topk): bit-identical
+    # sim, 1/3 of the per-candidate fold work
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_v"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_v"),
+        norm_expr(F.col(vec_col)).alias("_nn"),
+    )
     from pyspark.sql import Window
 
     # no broadcast hint: bucket skew can make the candidate set large,
@@ -387,7 +426,11 @@ def ivf_ann_topk(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("q_v"), F.col("n_v")), 6).alias("sim"),
+            F.round(
+                dot_expr(F.col("q_v"), F.col("n_v"))
+                / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -566,10 +609,18 @@ def lsh_ann_topk(
         .select("q_id", "n_id")
         .distinct()
     )
+    # per-vector norm precompute (see brute_force_topk): bit-identical
+    # sim, 1/3 of the per-candidate fold work
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_v"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_v"),
+        norm_expr(F.col(vec_col)).alias("_nn"),
+    )
     # no broadcast hint: bucket skew can make the candidate set large,
     # and a forced broadcast would OOM instead of degrading to a
     # shuffle join (AQE still broadcasts it when it is actually small)
@@ -579,7 +630,11 @@ def lsh_ann_topk(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("q_v"), F.col("n_v")), 6).alias("sim"),
+            F.round(
+                dot_expr(F.col("q_v"), F.col("n_v"))
+                / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1011,8 +1011,12 @@ LEFT JOIN catalog c USING (media_ref) WHERE c.media_ref IS NULL
 )
 def tbl_ref_dangling_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential integrity: span media_refs absent from the media
-    catalog (broadcast left-anti join; the catalog excludes 'media-6')."""
-    spans = spans_from_documents(spark, sf_dir)
+    catalog (broadcast left-anti join; the catalog excludes 'media-6').
+    materialize_spans: the explode must read the spans ATTRIBUTE, not
+    re-derive the span-building transform 3x (round-6)."""
+    from jvst_spark.io.spans import materialize_spans
+
+    spans = materialize_spans(spans_from_documents(spark, sf_dir))
     refs = spans.select(
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
@@ -2981,13 +2985,14 @@ def spans_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload decode runs once over the O(catalog) dimension, never per
     span occurrence — the shape a 10^12-doc corpus with a bounded
     media catalog needs."""
+    from jvst_spark.io.spans import materialize_spans
     from jvst_spark.ops.multimodal import (
         decode_features,
         decode_ppm,
         real_media_from_ids,
     )
 
-    spans = spans_from_documents(spark, sf_dir)
+    spans = materialize_spans(spans_from_documents(spark, sf_dir))
     ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
     media = real_media_from_ids(ids, "image", prefix="media-")
     feats = decode_features(media, decoders={"image": decode_ppm})
