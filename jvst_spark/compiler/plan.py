@@ -326,19 +326,26 @@ class ValidationPlan:
         unbounded pyeval closures.
 
         `engine` (round-5) selects the dynamic-JSON route:
-          auto    — JVM variant Columns when the spec lowers, else the
-                    pyeval pandas UDF (the default since round 2).
-          variant — force the JVM route; ValueError if the spec does
-                    not lower (cyclic $ref without max_ref_depth).
+          auto    — cost-based (round-6): when the spec lowers, the
+                    returned result is a HYBRID — verdicts() reads the
+                    compiled-Python validator (Arrow-batched pandas
+                    UDF), violations()/frame/metrics read the JVM
+                    variant Columns. When the spec does not lower,
+                    everything runs on pyeval.
+          variant — force the JVM route everywhere (the zero-Python-
+                    workers deployment escape); ValueError if the spec
+                    does not lower (cyclic $ref without max_ref_depth).
           pyeval  — force the Arrow-batched pandas-UDF route (compiled
                     Python closures per document).
-        Measured at sf0.1 (BENCH/BASELINE.md round-5 json-engine
-        table, paired min-of-3): pyeval is faster on array-heavy
-        verdict-only specs (up to 2.5x — variant exprs never enter
-        codegen), variant is faster on violation-row outputs (2.3x —
-        pyeval's explainer re-walks per document) and flat property
-        specs, besides needing no Python workers. auto remains the
-        deployment default."""
+        The auto split is the measured access-level cost model
+        (sf1.0 json-engine table, paired min-of-3, round-6): pyeval
+        verdicts beat interpreted variant expressions on EVERY
+        benchmark spec — 1.31x (flat props) to 2.58x (depth-9
+        recursive) — because variant exprs are CodegenFallback, while
+        variant violation ROWS beat pyeval 2.2x (the explainer
+        re-walks per invalid document). Verdict access is the
+        valid-dominated 100 TB hot path; violation access stays
+        Python-free."""
         import pandas as pd
 
         from jvst_spark.ops._parallel import ensure_min_parallelism
@@ -372,6 +379,16 @@ class ValidationPlan:
             kind, payload = cached
             if kind == "jvm":
                 return ValidationResult(self._project(df, id_col, payload))
+            if kind == "hybrid":
+                packed, hy_valid = payload
+                return ValidationResult(
+                    self._project(df, id_col, packed),
+                    verdicts_frame=df.select(
+                        F.col(id_col).alias("doc_id"),
+                        F.spark_partition_id().alias("partition_id"),
+                        hy_valid,
+                    ),
+                )
             valid_col, vio_col = payload
             return ValidationResult(
                 df.select(
@@ -405,8 +422,50 @@ class ValidationPlan:
             )
         if fast_full is not None:
             packed = fast_full(F.col(json_col))
-            cache[key] = ("jvm", packed)
-            return ValidationResult(self._project(df, id_col, packed))
+            if engine == "variant":
+                cache[key] = ("jvm", packed)
+                return ValidationResult(self._project(df, id_col, packed))
+            # auto + spec lowers -> hybrid (round-6 cost model, see
+            # docstring): verdict access runs the compiled-Python
+            # VALIDATOR closure (no explainer — verdict-only work) in
+            # an Arrow-batched pandas UDF; violations/frame/metrics
+            # stay on the zero-Python variant Columns.
+            hy_validator = compile_python(
+                self.spec.root, self.spec.defs, max_ref_depth
+            )
+
+            from pyspark.sql.types import BooleanType
+
+            @F.pandas_udf(BooleanType(), F.PandasUDFType.SCALAR)
+            def hy_valid_udf(s):
+                def run(txt):
+                    if txt is None:
+                        return False
+                    try:
+                        doc = json.loads(
+                            txt,
+                            parse_constant=_bad_const,
+                            object_pairs_hook=_no_dup_pairs,
+                        )
+                    except (ValueError, RecursionError):
+                        return False
+                    try:
+                        return bool(hy_validator(doc))
+                    except (OverflowError, RecursionError, ValueError):
+                        return False
+
+                return s.map(run)
+
+            hy_valid = hy_valid_udf(F.col(json_col)).alias("valid")
+            cache[key] = ("hybrid", (packed, hy_valid))
+            return ValidationResult(
+                self._project(df, id_col, packed),
+                verdicts_frame=df.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    hy_valid,
+                ),
+            )
 
         # general fallback: the compiled-Python closure inside an
         # Arrow-batched pandas UDF (authoritative for cyclic $ref specs
@@ -482,10 +541,19 @@ class ValidationPlan:
 
 
 class ValidationResult:
-    """Lazy holder for the one-pass validation projection."""
+    """Lazy holder for the one-pass validation projection.
 
-    def __init__(self, base: DataFrame):
+    `verdicts_frame` (round-6): an optional alternative plan for the
+    verdict-only view — the hybrid auto engine supplies the
+    compiled-Python validator route here while the base frame stays on
+    the variant Columns (each access reads its measured-faster
+    engine; both routes are conformance- and oracle-pinned equal)."""
+
+    def __init__(
+        self, base: DataFrame, verdicts_frame: Optional[DataFrame] = None
+    ):
         self._base = base
+        self._verdicts = verdicts_frame
 
     @property
     def frame(self) -> DataFrame:
@@ -494,6 +562,8 @@ class ValidationResult:
         return self._base
 
     def verdicts(self) -> DataFrame:
+        if self._verdicts is not None:
+            return self._verdicts
         return self._base.select("doc_id", "partition_id", "valid")
 
     def violations(self) -> DataFrame:

@@ -695,6 +695,19 @@ def near_dup_components(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint()
     )
+    # convergence via the label-sum invariant (round-6): min-label
+    # propagation only ever DECREASES a node's label, so the label sum
+    # strictly decreases until the fixpoint and is constant exactly
+    # there — one O(1)-row aggregate per round replaces the old
+    # new-vs-old join + its extra materialization (the join was one of
+    # the two per-round shuffles and existed only to count changes).
+    # decimal(38,0) keeps the sum exact at any node count / id range.
+    def _lbl_sum(frame):
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _lbl_sum(labels)
     for _ in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("id", "u"), "u"
@@ -703,16 +716,13 @@ def near_dup_components(
             msgs.union(labels)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-        )
-        cmp = (
-            new.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "id")
             .localCheckpoint()
         )
-        changed = cmp.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = cmp.select("id", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
+        new_sum = _lbl_sum(new)
+        labels = new
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         logger.warning(
             "near_dup_components: no fixpoint after %d rounds "

@@ -440,17 +440,34 @@ class TestFastPathParity:
                     want = False
                 assert got[i] == want, (schema, d, got[i], want)
 
-    def test_verdict_plan_has_no_python(self, spark):
+    def test_verdict_plan_engine_contract(self, spark):
+        """Round-6 cost model: under engine='auto' the verdict view
+        runs the compiled-Python validator (ArrowEvalPython — measured
+        1.3-2.6x faster than interpreted variant exprs at bench scale
+        on every benchmark spec), while engine='variant' keeps the
+        zero-Python verdict plan (the Python-less-cluster escape).
+        Values are identical on both routes."""
         plan = ValidationPlan(compile_schema(PROPS_SPEC))
-        df = spark.createDataFrame([("a", "{}")], ["doc_id", "body"])
-        verd = plan.apply_json(df, "body").verdicts()
-        explained = verd._jdf.queryExecution().executedPlan().toString()
-        assert "BatchEvalPython" not in explained
-        assert "ArrowEvalPython" not in explained
+        docs = ['{"k": 3}', '{"k": -1}', "{}", "[1]", "not json"]
+        df = spark.createDataFrame(
+            [(str(i), d) for i, d in enumerate(docs)], ["doc_id", "body"]
+        )
+        auto = plan.apply_json(df, "body").verdicts()
+        auto_plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in auto_plan
+        assert "BatchEvalPython" not in auto_plan
+        jvm = plan.apply_json(df, "body", engine="variant").verdicts()
+        jvm_plan = jvm._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in jvm_plan
+        snap_auto = {r["doc_id"]: r["valid"] for r in auto.collect()}
+        snap_jvm = {r["doc_id"]: r["valid"] for r in jvm.collect()}
+        assert snap_auto == snap_jvm
 
-    def test_array_spec_verdict_plan_has_no_python(self, spark):
-        # round-3 gate: array keywords must not drop the verdict path
-        # into per-row Python
+    def test_array_spec_verdict_plan_variant_has_no_python(self, spark):
+        # round-3 gate, round-6 scope: array keywords must not drop
+        # the VARIANT verdict path into per-row Python (auto now
+        # deliberately routes verdicts through the Arrow-batched
+        # validator — the measured-faster engine)
         schema = {
             "type": "array",
             "minItems": 1,
@@ -464,7 +481,7 @@ class TestFastPathParity:
         }
         plan = ValidationPlan(compile_schema(schema))
         df = spark.createDataFrame([("a", "[1]")], ["doc_id", "body"])
-        verd = plan.apply_json(df, "body").verdicts()
+        verd = plan.apply_json(df, "body", engine="variant").verdicts()
         explained = verd._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in explained
         assert "ArrowEvalPython" not in explained
