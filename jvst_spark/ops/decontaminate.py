@@ -115,13 +115,22 @@ def exact_snippet_overlap(
     leaks, this catches the copy-paste ones with zero false
     positives).
 
-    Scale story: eval snippet sets are tiny (thousands) against a
-    billion-document corpus, so the snippet side BROADCASTS and the
-    contains-join is a broadcast nested-loop over one corpus scan —
-    no shuffle at all; output is bounded by contamination volume.
-    For snippet sets too large for per-pair `contains` (100k+), the
-    upgrade path is a multi-pattern automaton (Aho-Corasick) inside
-    mapInPandas over the same broadcast — same one-scan shape.
+    Scale story (round-6): the broadcast nested-loop `contains` costs
+    O(docs x snippets x text-length) — at bench scale (50k docs x 516
+    snippets) that was the whole query. Snippets of >= 6 whitespace
+    tokens are instead PRE-FILTERED by an interior-token 5-gram
+    equi-join: if a snippet "w1 w2 ... wk" occurs as a character
+    substring of text, its interior tokens w2..w(k-1) necessarily
+    appear as complete, consecutive whitespace tokens of text (each is
+    flanked by the match's own spaces), so text's token 5-gram set
+    must contain "w2 w3 w4 w5 w6". Candidate (doc, snippet) pairs come
+    from one corpus gram explode joined to the broadcast snippet-gram
+    table; the exact `contains` verifies only candidates. False
+    positives cost one contains each; no false negatives, so output is
+    identical. Snippets shorter than 6 tokens (no interior 5-gram)
+    keep the plain broadcast nested-loop route; both routes union
+    before the rollup. Empty-token filtering on BOTH sides keeps the
+    necessary condition exact under repeated spaces.
 
     Returns one row per contaminated document: (doc_id, n_hits,
     first_snip) — documents with zero hits are by definition clean and
@@ -131,24 +140,86 @@ def exact_snippet_overlap(
     on EVERY document, so one zero-length eval row would flag the
     whole corpus and break the bounded-output contract.
     """
+    from jvst_spark.ops._expr import let_bound
+
     snips = snippets.filter(
         F.col(snip_col).isNotNull() & (F.length(snip_col) > 0)
     )
-    # alias-qualified references throughout: a snippet frame derived
-    # from the same documents table legitimately carries text/doc_id
-    # columns of its own (unqualified F.col would be ambiguous), and
-    # the two frames often share LINEAGE (corpus rows planted from the
-    # snippet set), which defeats dataframe-attribute qualification —
-    # explicit string aliases survive both
+    # raw (NOT lowercased) whitespace tokens on both sides: `contains`
+    # is case-exact, so the prefilter must be too
+    def raw_toks(c):
+        return F.filter(F.split(c, " "), lambda t: F.length(t) > 0)
+
+    n_snip_toks = F.size(raw_toks(F.col(snip_col)))
+    # interior 5-gram of the snippet: tokens 2..6 (1-based slice)
+    snip_gram = F.concat_ws(
+        " ", F.slice(raw_toks(F.col(snip_col)), 2, 5)
+    )
+    long_snips = snips.filter(n_snip_toks >= 6).select(
+        F.col(snip_id_col).alias("_sid"),
+        F.col(snip_col).alias("_snippet"),
+        snip_gram.alias("_gram"),
+    )
+    short_snips = snips.filter(n_snip_toks < 6)
+
+    # corpus token 5-grams (positional, not distinct — dedup happens on
+    # the (doc, snippet) candidate level); token array let-bound so the
+    # per-gram slice reads an attribute
+    def grams_of(tk):
+        n = F.size(tk)
+        return F.when(
+            n >= 5,
+            F.transform(
+                F.sequence(F.lit(0), n - 5),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(
+            let_bound(raw_toks(F.col(text_col)), grams_of)
+        ).alias("_gram"),
+    )
+    cand = (
+        corpus_grams.join(F.broadcast(long_snips), "_gram")
+        .select("_cid", "_sid", "_snippet")
+        .distinct()
+    )
+    # alias-qualified references: a snippet frame derived from the
+    # same documents table legitimately carries text/doc_id columns of
+    # its own, and the two frames often share LINEAGE (corpus rows
+    # planted from the snippet set), which defeats dataframe-attribute
+    # qualification — explicit string aliases survive both
     c = corpus.alias("_jvst_corpus")
-    sn = snips.alias("_jvst_snips")
-    hits = c.join(
+    verified = (
+        c.join(
+            F.broadcast(cand),
+            F.col(f"_jvst_corpus.{id_col}") == F.col("_cid"),
+        )
+        .filter(
+            F.col(f"_jvst_corpus.{text_col}").contains(F.col("_snippet"))
+        )
+        .select(
+            F.col(f"_jvst_corpus.{id_col}").alias("_hit_id"),
+            F.col("_sid").alias("_hit_sid"),
+        )
+    )
+    sn = short_snips.alias("_jvst_snips")
+    short_hits = c.join(
         F.broadcast(sn),
         F.col(f"_jvst_corpus.{text_col}").contains(
             F.col(f"_jvst_snips.{snip_col}")
         ),
+    ).select(
+        F.col(f"_jvst_corpus.{id_col}").alias("_hit_id"),
+        F.col(f"_jvst_snips.{snip_id_col}").alias("_hit_sid"),
     )
-    return hits.groupBy(F.col(f"_jvst_corpus.{id_col}")).agg(
-        F.count("*").alias("n_hits"),
-        F.min(F.col(f"_jvst_snips.{snip_id_col}")).alias("first_snip"),
+    return (
+        verified.unionAll(short_hits)
+        .groupBy(F.col("_hit_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("_hit_sid").alias("first_snip"),
+        )
     )

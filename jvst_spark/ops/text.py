@@ -162,55 +162,84 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     def over_tokens(tk: Column) -> Column:
         n = F.size(tk)
+        # k-grams via zip_with over shifted slices (round-6): each
+        # element is one concat over attribute slices instead of a
+        # per-element slice()+concat_ws allocation — same strings,
+        # ~1.5x cheaper interpreted. Trigrams extend the bigrams.
+        m1 = F.greatest(n - 1, F.lit(0))
+        m2 = F.greatest(n - 2, F.lit(0))
+        bg_all = F.zip_with(
+            F.slice(tk, 1, m1),
+            F.slice(tk, 2, m1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        bg = F.when(n >= 2, bg_all).otherwise(
+            F.array().cast("array<string>")
+        )
+        tg = F.when(
+            n >= 3,
+            F.zip_with(
+                F.slice(bg_all, 1, m2),
+                F.slice(tk, 3, m2),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-        def grams(k: int) -> Column:
-            # positional k-grams (NOT distinct — multiplicity is the
-            # point); sequence() descends when start > stop, so short
-            # docs need the explicit empty-array arm
-            return F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - k + 1),
-                    lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+        def over_bigrams(bg_b: Column) -> Column:
+            # max multiplicity = longest equal run of the sorted array,
+            # computed with flat array ops (round-6): run boundaries
+            # are the 1-based positions where the value changes; run
+            # lengths are adjacent boundary differences. This replaces
+            # the struct-accumulator fold (per-element struct
+            # construction was the query's hot spot). The m > 0 guard
+            # matters twice: sequence(1, 0) DESCENDS, and
+            # element_at(s, 0) errors under ANSI.
+            from jvst_spark.ops._expr import let_bound
 
-        def over_bigrams(bg: Column) -> Column:
-            # longest equal run in the sorted array = max multiplicity
-            def step(acc: Column, x: Column) -> Column:
-                run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                    F.lit(1)
+            def top_of(s: Column) -> Column:
+                # s is let-bound (an attribute): the per-element filter
+                # lambda reads it without re-sorting
+                m = F.size(s)
+                bounds = F.when(
+                    m > 0,
+                    F.filter(
+                        F.sequence(F.lit(1), m),
+                        lambda i: (i == 1)
+                        | (F.element_at(s, i) != F.element_at(s, i - 1)),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+                return let_bound(
+                    bounds,
+                    lambda bs: F.coalesce(
+                        F.array_max(
+                            F.zip_with(
+                                F.slice(bs, 1, F.size(bs)),
+                                F.concat(
+                                    F.slice(bs, 2, F.size(bs)),
+                                    F.array(m + 1),
+                                ),
+                                lambda a, b: b - a,
+                            )
+                        ),
+                        F.lit(0),
+                    ),
                 )
-                return F.struct(
-                    x.alias("prev"),
-                    run.alias("run"),
-                    F.greatest(acc["best"], run).alias("best"),
-                )
 
-            top = F.aggregate(
-                F.array_sort(bg),
-                F.struct(
-                    F.lit("").alias("prev"),
-                    F.lit(0).alias("run"),
-                    F.lit(0).alias("best"),
-                ),
-                step,
-                lambda acc: acc["best"],
-            )
+            top = let_bound(F.array_sort(bg_b), top_of)
             return F.struct(
-                F.size(bg).alias("nb"),
+                F.size(bg_b).alias("nb"),
                 F.round(
-                    top / F.greatest(F.size(bg), F.lit(1)), 6
+                    top / F.greatest(F.size(bg_b), F.lit(1)), 6
                 ).alias("share"),
             )
 
-        def over_trigrams(tg: Column) -> Column:
+        def over_trigrams(tg_b: Column) -> Column:
             return F.when(
-                F.size(tg) == 0, F.lit(0.0)
+                F.size(tg_b) == 0, F.lit(0.0)
             ).otherwise(
                 F.round(
                     F.lit(1.0)
-                    - F.size(F.array_distinct(tg)) / F.size(tg),
+                    - F.size(F.array_distinct(tg_b)) / F.size(tg_b),
                     6,
                 )
             )
@@ -219,10 +248,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         # O(n*k) gram build evaluates once per use site, not once per
         # reference inside collapsed projections
         bstats = F.element_at(
-            F.transform(F.array(grams(2)), over_bigrams), 1
+            F.transform(F.array(bg), over_bigrams), 1
         )
         dupfrac = F.element_at(
-            F.transform(F.array(grams(3)), over_trigrams), 1
+            F.transform(F.array(tg), over_trigrams), 1
         )
         return F.struct(
             bstats["nb"].alias("n_bigrams"),
