@@ -48,19 +48,32 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len)."""
-    t = tokens(F.col(text_col))
-    return df.select(
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len).
+
+    The token array is let-bound (round-6): the three sibling output
+    expressions each re-derived the split+filter otherwise — measured
+    1.4s -> 0.95s at sf1.0."""
+    from jvst_spark.ops._expr import let_bound
+
+    def body(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("n_tokens"),
+            F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+            F.round(
+                F.aggregate(
+                    t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+                )
+                / F.greatest(F.size(t), F.lit(1)),
+                6,
+            ).alias("avg_token_len"),
+        )
+
+    p = let_bound(tokens(F.col(text_col)), body)
+    return df.select("doc_id", p.alias("_p")).select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
-        F.round(
-            F.aggregate(
-                t, F.lit(0.0), lambda acc, x: acc + F.length(x)
-            )
-            / F.greatest(F.size(t), F.lit(1)),
-            6,
-        ).alias("avg_token_len"),
+        F.col("_p.n_tokens").alias("n_tokens"),
+        F.col("_p.n_distinct_tokens").alias("n_distinct_tokens"),
+        F.col("_p.avg_token_len").alias("avg_token_len"),
     )
 
 
@@ -75,16 +88,22 @@ def quality_score(
     extra_cols: passthrough columns to keep beside (doc_id, quality) —
     lets mixture/curation stages score without a join back.
     """
-    t = tokens(F.col(text_col))
-    n = F.greatest(F.size(t), F.lit(1))
-    stop_hits = F.size(
-        F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
-    )
-    score = (
-        F.lit(0.4) * F.least(F.size(t) / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * (F.size(F.array_distinct(t)) / n)
-        + F.lit(0.3) * F.least(stop_hits * F.lit(5.0) / n, F.lit(1.0))
-    )
+    from jvst_spark.ops._expr import let_bound
+
+    # token array let-bound: the four sibling references re-derived
+    # the tokenization otherwise (round-6)
+    def score_of(t: Column) -> Column:
+        n = F.greatest(F.size(t), F.lit(1))
+        stop_hits = F.size(
+            F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+        )
+        return (
+            F.lit(0.4) * F.least(F.size(t) / F.lit(50.0), F.lit(1.0))
+            + F.lit(0.3) * (F.size(F.array_distinct(t)) / n)
+            + F.lit(0.3) * F.least(stop_hits * F.lit(5.0) / n, F.lit(1.0))
+        )
+
+    score = let_bound(tokens(F.col(text_col)), score_of)
     return df.select(
         "doc_id", *extra_cols, F.round(score, 6).alias("quality")
     )
@@ -93,18 +112,32 @@ def quality_score(
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword language-ID heuristic: English stopword density
     over tokens -> label. Deterministic, engine-portable."""
-    t = tokens(F.col(text_col))
-    n = F.greatest(F.size(t), F.lit(1))
-    density = (
-        F.size(F.filter(t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS])))
-        / n
-    )
-    return df.select(
-        "doc_id",
+    from jvst_spark.ops._expr import let_bound
+
+    # token array let-bound; density additionally computed once and
+    # shared by both output columns through the struct (round-6)
+    def density_of(t: Column) -> Column:
+        n = F.greatest(F.size(t), F.lit(1))
+        return (
+            F.size(
+                F.filter(
+                    t, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS])
+                )
+            )
+            / n
+        )
+
+    density = let_bound(tokens(F.col(text_col)), density_of)
+    p = F.struct(
         F.when(density >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias(
             "lang_pred"
         ),
         F.round(density, 6).alias("stopword_density"),
+    )
+    return df.select("doc_id", p.alias("_p")).select(
+        "doc_id",
+        F.col("_p.lang_pred").alias("lang_pred"),
+        F.col("_p.stopword_density").alias("stopword_density"),
     )
 
 
@@ -131,14 +164,27 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     token count vs BPE-ish subword count — the standard budget metric
     for LLM training-data sizing. Pure Column expressions
     (regexp_extract_all), shuffle-free."""
-    t = tokens(F.col(text_col))
-    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
-    return df.select(
+    from jvst_spark.ops._expr import let_bound
+
+    # both counts let-bound as scalars (round-6): n_ws/n_bpe each fed
+    # two sibling expressions, re-running the split / regex scan
+    nt = let_bound(tokens(F.col(text_col)), F.size)
+    nbpe = let_bound(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0),
+        F.size,
+    )
+    p = F.struct(
+        nt.alias("n_ws_tokens"),
+        nbpe.alias("n_bpe_tokens"),
+    )
+    return df.select("doc_id", p.alias("_p")).select(
         "doc_id",
-        F.size(t).alias("n_ws_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
+        F.col("_p.n_ws_tokens").alias("n_ws_tokens"),
+        F.col("_p.n_bpe_tokens").alias("n_bpe_tokens"),
         F.round(
-            F.size(bpe) / F.greatest(F.size(t), F.lit(1)), 6
+            F.col("_p.n_bpe_tokens")
+            / F.greatest(F.col("_p.n_ws_tokens"), F.lit(1)),
+            6,
         ).alias("bpe_per_word"),
     )
 
