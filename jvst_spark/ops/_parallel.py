@@ -28,8 +28,31 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     inputs, where the probe is planning-only."""
     if df.isStreaming:  # .rdd is undefined; micro-batches repartition
         return df       # via their own shuffle boundaries
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = min_parts if min_parts is not None else sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # memoize the probe per (session, analyzed-plan semantic hash)
+    # (round-6): the .rdd probe pays ~0.2-0.3s of driver-side physical
+    # planning per FRESH DataFrame, and query entry points rebuild
+    # their frames on every invocation — the probes alone were ~0.4s
+    # of each flagship query. The cache only steers the widening
+    # HEURISTIC, so a stale entry (same plan, files grown on disk) or
+    # a hash collision can at worst skip/add a repartition, never
+    # change results; it dies with the session.
+    key = None
+    try:
+        key = (target, df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        key = None
+    cache = getattr(spark, "_jvst_nparts_cache", None)
+    if cache is None:
+        cache = {}
+        spark._jvst_nparts_cache = cache
+    n = cache.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            cache[key] = n
+    if n < target:
         return df.repartition(target)
     return df

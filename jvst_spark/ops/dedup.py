@@ -689,11 +689,15 @@ def near_dup_components(
         .distinct()
         .localCheckpoint()
     )
+    # LAZY checkpoints for the per-round frames (round-6): the label
+    # frame's materialization rides the label-sum aggregate that
+    # immediately follows — one job per round instead of a separate
+    # eager-checkpoint job plus the aggregate.
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence via the label-sum invariant (round-6): min-label
     # propagation only ever DECREASES a node's label, so the label sum
@@ -716,7 +720,7 @@ def near_dup_components(
             msgs.union(labels)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = _lbl_sum(new)
         labels = new
