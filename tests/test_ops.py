@@ -892,9 +892,17 @@ class TestInterleaveStats:
         from jvst_spark.io.spans import spans_from_documents
         from jvst_spark.ops.interleave import interleave_stats
 
-        out = interleave_stats(spans_from_documents(spark, SF_DIR))
+        # round-6: spans_from_documents conditionally widens a narrow
+        # scan (an input-side RoundRobin exchange at test scale, a
+        # no-op at 100 TB). The operator's own invariant is unchanged:
+        # interleave_stats adds NO exchange beyond its input's, and no
+        # Python node anywhere.
+        inp = spans_from_documents(spark, SF_DIR)
+        in_plan = inp._jdf.queryExecution().executedPlan().toString()
+        out = interleave_stats(inp)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+        assert plan.count("Exchange") == in_plan.count("Exchange")
+        assert "BatchEvalPython" not in plan
 
 
 class TestQuantizeInt8NullElements:
