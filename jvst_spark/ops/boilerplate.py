@@ -134,8 +134,15 @@ def corpus_frequent_ngrams(
     The curation diagnostic behind boilerplate thresholds and
     memorization audits.
 
-    One explode + one map-side-combined groupBy on the gram string;
-    output is only the repeated tail, never the full gram inventory.
+    ONE map-side-combinable exchange (round-6): each document's grams
+    are sorted and run-length encoded per row (flat array ops), so a
+    doc emits each DISTINCT gram once with its in-doc count. The
+    rollup is then a plain count/sum groupBy — n_docs = count(*)
+    because per-doc rows are distinct by construction — whose partial
+    aggregation collapses grams shared across documents map-side. The
+    previous countDistinct formulation needed two exchanges, and the
+    first — keyed (gram, doc) — admitted no cross-document map-side
+    reduction at all.
     """
     from jvst_spark.ops._expr import let_bound
     from jvst_spark.ops.text import tokens
@@ -149,13 +156,44 @@ def corpus_frequent_ngrams(
             lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)),
         )
 
-    grams = let_bound(tokens(F.col(text_col)), build)
+    def rle(s):
+        # s: SORTED gram array (attribute) -> array<struct<gram,cnt>>
+        # run boundaries = 1-based positions where the value changes;
+        # run length = next boundary (or m+1) minus this one. The
+        # m > 0 guard matters twice: sequence(1, 0) descends, and
+        # element_at(s, 0) errors under ANSI.
+        m = F.size(s)
+        bounds = F.when(
+            m > 0,
+            F.filter(
+                F.sequence(F.lit(1), m),
+                lambda i: (i == 1)
+                | (F.element_at(s, i) != F.element_at(s, i - 1)),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return let_bound(
+            bounds,
+            lambda bs: F.zip_with(
+                bs,
+                F.concat(F.slice(bs, 2, F.size(bs)), F.array(m + 1)),
+                lambda b, nxt: F.struct(
+                    F.element_at(s, b).alias("gram"),
+                    (nxt - b).cast("long").alias("cnt"),
+                ),
+            ),
+        )
+
+    encoded = let_bound(
+        let_bound(tokens(F.col(text_col)), build),
+        lambda g: let_bound(F.array_sort(g), rle),
+    )
     return (
-        df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("gram"))
+        df.select(F.explode(encoded).alias("e"))
+        .select(F.col("e.gram").alias("gram"), F.col("e.cnt").alias("_c"))
         .groupBy("gram")
         .agg(
-            F.countDistinct("_doc").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.sum("_c").alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )

@@ -365,27 +365,53 @@ def winnowing_fingerprint(
     # every gram slice (O(n^2) md5 evaluations per document — measured
     # 19s for the 5k-doc bench vs <1s bound) and the gram array inside
     # every window slice.
+    # round-6: both sliding passes compute via chained zip_with over
+    # shifted slices — one vectorized combine per offset instead of a
+    # per-position slice + fold/array_min (the per-element slice
+    # machinery was the query's hot spot). Arithmetic is identical:
+    # the base-31 fold from 0 is h1*31^(k-1)+...+hk either way, and
+    # least() == array_min on the null-free hash arrays. Documents
+    # shorter than the window keep the original per-position arm
+    # (zip_with pads mismatched lengths with NULL, which would poison
+    # the combine).
     def windows_of(g: Column) -> Column:
-        m = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(g) - w, F.lit(0)) + 1),
-            lambda i: F.array_min(F.slice(g, i, w)),
+        ng = F.size(g)
+        cntw = ng - (w - 1)
+        acc_fast = F.slice(g, 1, cntw)
+        for j in range(2, w + 1):
+            acc_fast = F.zip_with(
+                acc_fast, F.slice(g, j, cntw), lambda x, y: F.least(x, y)
+            )
+        m = F.when(ng >= w, acc_fast).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(ng - w, F.lit(0)) + 1),
+                lambda i: F.array_min(F.slice(g, i, w)),
+            )
         )
         return F.struct(
             F.md5(
                 F.concat_ws(",", F.array_sort(F.array_distinct(m)))
             ).alias("fp"),
-            F.size(g).alias("ng"),
+            ng.alias("ng"),
         )
 
     def over_hashes(th_b: Column) -> Column:
         n = F.size(th_b)
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)) + 1),
-            lambda i: F.aggregate(
-                F.slice(th_b, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, h: acc * 31 + h,
-            ),
+        cnt = n - (k - 1)
+        gacc = F.slice(th_b, 1, cnt)
+        for j in range(2, k + 1):
+            gacc = F.zip_with(
+                gacc, F.slice(th_b, j, cnt), lambda x, y: x * 31 + y
+            )
+        grams = F.when(n >= k, gacc).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)) + 1),
+                lambda i: F.aggregate(
+                    F.slice(th_b, i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc * 31 + h,
+                ),
+            )
         )
         return F.element_at(F.transform(F.array(grams), windows_of), 1)
 

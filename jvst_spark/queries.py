@@ -988,8 +988,10 @@ GROUP BY doc_id HAVING count(*) >= 2
 def tbl_unique_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact table-level uniqueness over doc_id. Input is the spans
     table unioned with a deterministic slice of itself (id % 41) so
-    duplicates exist. groupBy shuffles the KEY only; AQE handles skew."""
-    df = spans_from_documents(spark, sf_dir).select("doc_id")
+    duplicates exist. groupBy shuffles the KEY only; AQE handles skew.
+    widen=False: this consumer projects doc_id only, so the input-
+    widening probe/shuffle would cost more than it saves (round-6)."""
+    df = spans_from_documents(spark, sf_dir, widen=False).select("doc_id")
     dupes = df.filter(F.substring("doc_id", 5, 12).cast("bigint") % 41 == 0)
     return duplicate_keys(df.unionAll(dupes), "doc_id")
 
